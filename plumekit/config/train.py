@@ -1,0 +1,87 @@
+"""Model / training / data / mesh / inference configs.
+
+The reference's model layer is absent (``src/models/`` holds an empty
+``__init__.py``; entry points promised at ``README.md:41-45``). These configs
+define the TPU-first U-Net stack that fills that gap (BASELINE.json
+north star + configs 1-5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """U-Net: double-conv encoder blocks, transposed-conv upsampling, skip
+    concatenations (BASELINE.json north_star)."""
+
+    in_channels: int = 2          # AOD + rasterised fire channel
+    out_channels: int = 1         # plume logit
+    base_features: int = 32
+    depth: int = 4                # number of down/up stages
+    norm: str = "batch"           # "batch" | "group" | "none"
+    group_norm_groups: int = 8
+    #: compute dtype; params stay fp32 masters (config 4: bf16 mixed precision)
+    compute_dtype: str = "bfloat16"
+    #: use the fused Pallas conv+norm+ReLU kernel on TPU (lax.conv fallback)
+    use_pallas: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16          # global batch (sharded over data axis)
+    tile_size: int = 512          # config 2: 512x512 multi-band tiles
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-4
+    warmup_steps: int = 100
+    total_steps: int = 2000
+    dice_weight: float = 0.5      # loss = w*dice + (1-w)*bce
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 200
+    log_every: int = 20
+    augment: bool = True          # on-device flips/rot90 (config 4)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Synthetic-granule dataset (no real MAIAC volumes are available;
+    SURVEY.md §7 hard part #5)."""
+
+    granule_size: int = 1200      # full MAIAC tile is 1200x1200 (tools.py:116-122)
+    tile_size: int = 256
+    tiles_per_granule: int = 32
+    n_train_granules: int = 8
+    n_eval_granules: int = 2
+    seed: int = 1234
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes (SURVEY.md §2.2): ``data`` for DP batch sharding,
+    ``y``/``x`` for spatial (context-parallel analogue) sharding of the raster
+    plane with halo exchange."""
+
+    data: int = 1
+    y: int = 1
+    x: int = 1
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (self.data, self.y, self.x)
+
+    @property
+    def n_devices(self) -> int:
+        return self.data * self.y * self.x
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Sliding-window full-granule inference (config 3)."""
+
+    tile_size: int = 256
+    overlap: int = 32             # blended overlap between adjacent tiles
+    batch_tiles: int = 16         # tiles per device batch
+    threshold: float = 0.5        # mask = sigmoid(logit) > threshold

@@ -1,0 +1,207 @@
+"""UTM projection and nearest-neighbour swath resampling — native replacement
+for the reference's ``utm_resampler`` (``tools.py:9-64``), which wraps
+pyproj + pyresample's kd-tree.
+
+Design split for TPU: the kd-tree *index build* stays host-side (scipy cKDTree,
+built once per target grid), producing a flat gather-index map; the *apply*
+step is a pure gather that runs on device and can be fused into downstream XLA
+programs (SURVEY.md §2.1 "KD-tree nearest-neighbour resample").
+
+The transverse-Mercator math uses the standard Snyder series (mm-level
+accuracy for UTM's narrow zones) on the WGS84 ellipsoid.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from scipy import stats
+from scipy.spatial import cKDTree
+
+# WGS84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+_FALSE_E = 500000.0
+
+_M1 = 1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256
+_M2 = 3 * _E2 / 8 + 3 * _E2**2 / 32 + 45 * _E2**3 / 1024
+_M3 = 15 * _E2**2 / 256 + 45 * _E2**3 / 1024
+_M4 = 35 * _E2**3 / 3072
+
+_E1 = (1 - np.sqrt(1 - _E2)) / (1 + np.sqrt(1 - _E2))
+_P2 = 3 * _E1 / 2 - 27 * _E1**3 / 32
+_P3 = 21 * _E1**2 / 16 - 55 * _E1**4 / 32
+_P4 = 151 * _E1**3 / 96
+_P5 = 1097 * _E1**4 / 512
+
+
+def utm_zone_of(lons) -> int:
+    """Modal UTM zone of an array of longitudes — the reference picks the zone
+    most of the swath falls in (``tools.py:20-28``)."""
+    lons = np.asarray(lons)
+    lons = (lons + 180) - np.floor((lons + 180) / 360) * 360 - 180
+    zones = np.floor((lons + 180) / 6) + 1
+    mode = stats.mode(zones, axis=None)
+    return int(np.atleast_1d(mode.mode)[0])
+
+
+def _meridional_arc(lat):
+    return _A * (
+        _M1 * lat
+        - _M2 * np.sin(2 * lat)
+        + _M3 * np.sin(4 * lat)
+        - _M4 * np.sin(6 * lat)
+    )
+
+
+@dataclass(frozen=True)
+class UTMProjection:
+    """Forward/inverse UTM for one zone (northern false northing 0, southern
+    10 000 000 m, matching ``proj=utm ellps=WGS84``)."""
+
+    zone: int
+    south: bool = False
+
+    @property
+    def central_meridian_deg(self) -> float:
+        return -183.0 + 6.0 * self.zone
+
+    @property
+    def false_northing(self) -> float:
+        return 10000000.0 if self.south else 0.0
+
+    def forward(self, lon_deg, lat_deg):
+        """(lon, lat) degrees → (easting, northing) meters."""
+        lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        lon0 = np.radians(self.central_meridian_deg)
+
+        sin_lat, cos_lat, tan_lat = np.sin(lat), np.cos(lat), np.tan(lat)
+        n = _A / np.sqrt(1 - _E2 * sin_lat**2)
+        t = tan_lat**2
+        c = _EP2 * cos_lat**2
+        a = (lon - lon0) * cos_lat
+        m = _meridional_arc(lat)
+
+        east = _FALSE_E + _K0 * n * (
+            a
+            + (1 - t + c) * a**3 / 6
+            + (5 - 18 * t + t**2 + 72 * c - 58 * _EP2) * a**5 / 120
+        )
+        north = self.false_northing + _K0 * (
+            m
+            + n
+            * tan_lat
+            * (
+                a**2 / 2
+                + (5 - t + 9 * c + 4 * c**2) * a**4 / 24
+                + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a**6 / 720
+            )
+        )
+        return east, north
+
+    def inverse(self, east, north):
+        """(easting, northing) meters → (lon, lat) degrees."""
+        x = np.asarray(east, dtype=np.float64) - _FALSE_E
+        y = np.asarray(north, dtype=np.float64) - self.false_northing
+        lon0 = np.radians(self.central_meridian_deg)
+
+        m = y / _K0
+        mu = m / (_A * _M1)
+        fp = (
+            mu
+            + _P2 * np.sin(2 * mu)
+            + _P3 * np.sin(4 * mu)
+            + _P4 * np.sin(6 * mu)
+            + _P5 * np.sin(8 * mu)
+        )
+
+        sin_fp, cos_fp, tan_fp = np.sin(fp), np.cos(fp), np.tan(fp)
+        c1 = _EP2 * cos_fp**2
+        t1 = tan_fp**2
+        n1 = _A / np.sqrt(1 - _E2 * sin_fp**2)
+        r1 = _A * (1 - _E2) / (1 - _E2 * sin_fp**2) ** 1.5
+        d = x / (n1 * _K0)
+
+        lat = fp - (n1 * tan_fp / r1) * (
+            d**2 / 2
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * _EP2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * _EP2 - 3 * c1**2)
+            * d**6
+            / 720
+        )
+        lon = lon0 + (
+            d
+            - (1 + 2 * t1 + c1) * d**3 / 6
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2) * d**5 / 120
+        ) / cos_fp
+        return np.degrees(lon), np.degrees(lat)
+
+
+class UTMResampler:
+    """Nearest-neighbour swath→UTM-grid resampler (``tools.py:9-64`` parity).
+
+    The UTM grid is derived from the swath extent at ``pixel_size`` meters; a
+    cKDTree over swath UTM coordinates yields, per target cell, the index of
+    the nearest swath pixel within ``radius_of_influence`` meters (reference
+    default 10 km, ``tools.py:57``). The resulting ``index_map``/``valid``
+    pair is a device-friendly gather plan: ``resample_image`` is a pure
+    ``take`` + ``where`` and may be called with JAX arrays inside jit.
+    """
+
+    def __init__(self, lats, lons, pixel_size: float,
+                 radius_of_influence: float = 10000.0):
+        self.pixel_size = float(pixel_size)
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        self.zone = utm_zone_of(lons)
+        self.south = bool(np.mean(lats) < 0)
+        self.proj = UTMProjection(self.zone, self.south)
+
+        x, y = self.proj.forward(lons, lats)
+        self.extent = (np.min(x), np.min(y), np.max(x), np.max(y))
+        self.x_size = int(np.round((self.extent[2] - self.extent[0]) / pixel_size))
+        self.y_size = int(np.round((self.extent[3] - self.extent[1]) / pixel_size))
+
+        # target cell centers (row 0 = max northing, image convention)
+        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * pixel_size
+        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * pixel_size
+        txv, tyv = np.meshgrid(tx, ty)
+
+        tree = cKDTree(np.column_stack([x.ravel(), y.ravel()]))
+        dist, idx = tree.query(
+            np.column_stack([txv.ravel(), tyv.ravel()]),
+            distance_upper_bound=radius_of_influence,
+        )
+        self.valid = np.isfinite(dist).reshape(self.y_size, self.x_size)
+        idx = np.where(np.isfinite(dist), idx, 0)
+        self.index_map = idx.reshape(self.y_size, self.x_size).astype(np.int32)
+
+    def resample_image(self, image, fill_value=-999.0):
+        """Apply the precomputed gather plan. ``image`` may be a NumPy or JAX
+        array of the swath shape; the op is jit/vmap-friendly."""
+        flat = image.reshape(-1)
+        out = flat[self.index_map]
+        return _where(self.valid, out, fill_value)
+
+    def resample_points_to_utm(self, point_lats, point_lons):
+        x, y = self.proj.forward(np.asarray(point_lons), np.asarray(point_lats))
+        return list(zip(x, y))
+
+    def resample_point_to_geo(self, point_y, point_x):
+        return self.proj.inverse(point_x, point_y)
+
+
+def _where(mask, a, fill):
+    try:  # works for both numpy and jax arrays without importing jax here
+        import jax.numpy as jnp
+
+        if not isinstance(a, np.ndarray):
+            return jnp.where(mask, a, fill)
+    except ImportError:
+        pass
+    return np.where(mask, a, fill)

@@ -1,0 +1,303 @@
+"""The shared device pipeline behind the rg and gaussian detectors.
+
+The reference's hot loop is: per threshold, build a binary mask, clean
+singletons, run full-image connected components, then per fire find the
+nearest component within a window and record its size; afterwards pick, per
+fire, the threshold *before the plume merges into background* and re-extract
+and vet the plume mask (``plume_identifier_rg.py:137-234, 357-457``;
+``plume_identifier_gaussian_profile.py:142-240, 243-332``). That is 20+
+python-level ``skimage.label`` calls per scene.
+
+TPU-native re-expression: the entire threshold sweep is one jitted XLA
+program —
+
+* masks for all T thresholds as a (T, H, W) tensor;
+* morphology + CCL vmapped over T (CCL is segmented-scan label propagation,
+  :mod:`plumekit.ops.ccl`);
+* component sizes via one ``segment_sum`` per threshold;
+* per-(threshold, fire) nearest-label window lookups vmapped over both axes;
+* the threshold-index rule and the acceptance gates (area bounds, AOD max,
+  principal-axis ratio, transect peak count, optional null fraction) as
+  vectorised masked arithmetic over the fixed fire capacity.
+
+Fires and plumes are ragged in reality; here they ride fixed-capacity arrays
+with validity masks so the program compiles once per scene shape
+(SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from plumekit.ops.ccl import connected_components, component_sizes
+from plumekit.ops.morphology import binary_opening_cross, binary_dilation_square
+from plumekit.ops.segment import (
+    label_window_nearest,
+    masked_bbox,
+    masked_moments_cov,
+)
+from plumekit.ops.geometry import principal_axes
+from plumekit.ops.transect import (
+    count_peaks_masked,
+    line_transect,
+    line_transect_in_mask,
+    savgol_smooth,
+)
+
+
+@dataclass(frozen=True)
+class SweepStatics:
+    """Static (compile-time) parameters of the sweep pipeline."""
+
+    win_half: int
+    min_plume_pixels: int
+    max_plume_pixels: int
+    max_lim: float               # min acceptable in-plume AOD max
+    axis_ratio: float            # rg SIDE_RATIO=5 / gaussian MIN_AXIS_RATIO=8
+    max_peaks: int               # rg 1 / gaussian 3
+    n_transect: int
+    savgol_window: int = 0       # 0 = no smoothing (gaussian variant)
+    savgol_polyorder: int = 3
+    check_null: bool = False     # gaussian CHECK 4
+    max_invalid_frac: float = 0.2
+    use_mask_b: bool = True      # rg also evaluates threshold_index - 1
+    pick_larger_mask: bool = True     # CompatFlags.pick_larger_mask
+    reject_last_threshold: bool = True  # CompatFlags.reject_last_threshold
+    dilate_plume_px: int = 0     # gaussian buffers final mask by 5x5
+
+
+def _threshold_index(extents, reject_last: bool):
+    """Per-fire best threshold index — ``find_threshold_index``
+    (``plume_identifier_rg.py:198-234``) vectorised.
+
+    ``extents``: (T,) plume sizes over descending thresholds. Returns
+    (index, has_index).
+    """
+    t = extents.shape[0]
+    prev = extents[:-1].astype(jnp.float32)
+    nxt = extents[1:].astype(jnp.float32)
+    is_nan = prev == 0
+    ratios = jnp.where(is_nan, -jnp.inf, nxt / jnp.maximum(prev, 1.0))
+    all_nan = jnp.all(is_nan)
+    argmax = jnp.argmax(ratios)  # first max, matching np.nanargmax
+
+    any_nan = jnp.any(is_nan)
+    # index of the last nan entry (only meaningful when any_nan)
+    rev_first = jnp.argmax(is_nan[::-1])
+    last_nan = (t - 2) - rev_first
+    first_non_nan_reject = any_nan & (argmax == last_nan + 1)
+
+    last_reject = jnp.bool_(False)
+    if reject_last:
+        # intended behavior: reject when the max ratio sits at the last entry
+        # (the committed comparison `argmax == ratios.size` is unreachable,
+        # SURVEY.md bug #4)
+        last_reject = argmax == (t - 2)
+
+    has = ~all_nan & ~first_non_nan_reject & ~last_reject
+    return argmax.astype(jnp.int32), has
+
+
+def make_sweep_identifier(statics: SweepStatics):
+    """Build the jitted sweep program for a given static configuration.
+
+    Returns ``fn(aod, raw_aod, null_mask, thresholds, fire_rows, fire_cols,
+    fire_valid) -> dict`` where
+
+    * ``aod`` is the detection field (interpolated AOD for the gaussian
+      variant, raw for rg);
+    * ``raw_aod`` is the field used for in-plume statistics (rg uses raw;
+      gaussian passes the interpolated field for both);
+    * ``thresholds`` is a (T,) descending float array;
+    * fire arrays are fixed capacity (F,) with a validity mask.
+
+    Output dict (all fixed shape): ``accepted`` (F,), ``mask`` (F, H, W),
+    ``t_index``, ``label``, ``area``, ``aod_mean``, ``aod_sd``, ``bbox``
+    (F, 4), ``extents`` (T, F).
+    """
+    s = statics
+
+    def assess_at(labels_all, size_maps, aod_det, aod_stat, null_mask,
+                  t_idx, r, c):
+        """Vet the plume for one fire at one (dynamic) threshold index.
+
+        Mirrors ``find_plume_mask``+``assess_plume``+``check_plume_profile``
+        (``plume_identifier_rg.py:237-354``).
+        """
+        lab_img = labels_all[t_idx]
+        label, found = label_window_nearest(lab_img, r, c, s.win_half)
+        mask = (lab_img == label) & found
+        area = size_maps[t_idx, label]
+
+        ok = found
+        ok &= area >= s.min_plume_pixels          # CHECK 1
+        ok &= area <= s.max_plume_pixels          # CHECK 2
+        aod_in = jnp.where(mask, aod_stat, -jnp.inf)
+        aod_max = jnp.max(aod_in)
+        ok &= aod_max >= s.max_lim                # CHECK 3
+
+        if s.check_null:                          # gaussian CHECK 4
+            n_null = jnp.sum(null_mask & mask)
+            frac = n_null / jnp.maximum(area, 1)
+            ok &= frac <= s.max_invalid_frac
+
+        # principal axes (CHECK 4/5): variance-scaled axis lengths,
+        # reference parity (plume_identifier_rg.py:285-302)
+        c_rr, c_rc, c_cc, _n = masked_moments_cov(mask)
+        d_major, d_minor, _v_major, v_minor = principal_axes(c_rr, c_rc, c_cc)
+        ratio = d_major / jnp.maximum(d_minor, 1e-12)
+        ok &= ratio >= s.axis_ratio
+
+        # transect profile (CHECK 5/6)
+        min_r, min_c, max_r, max_c = masked_bbox(mask)
+        mr, mcarr = _masked_center(mask)
+        # minor-axis line: slope dy/dx of the eigvec; division by ~0 yields
+        # inf and an empty kept-run, reproducing the reference's reject-path
+        slope = v_minor[0] / v_minor[1]
+        y1 = mr + 0.5 * d_minor * v_minor[0]
+        x1 = mcarr + 0.5 * d_minor * v_minor[1]
+        intercept = y1 - x1 * slope
+
+        if s.savgol_window:
+            samples, valid = line_transect(
+                aod_det, slope, intercept,
+                min_r.astype(jnp.float32), min_c.astype(jnp.float32),
+                max_r.astype(jnp.float32), max_c.astype(jnp.float32),
+                n_samples=s.n_transect,
+            )
+            smoothed, sg_ok = savgol_smooth(
+                samples, valid, s.savgol_window, s.savgol_polyorder
+            )
+            n_peaks = count_peaks_masked(smoothed, valid)
+            ok &= sg_ok                      # scipy raise → except → reject
+            ok &= n_peaks <= s.max_peaks
+        else:
+            samples, valid = line_transect_in_mask(
+                aod_det, mask, slope, intercept,
+                min_r.astype(jnp.float32), min_c.astype(jnp.float32),
+                max_r.astype(jnp.float32), max_c.astype(jnp.float32),
+                n_samples=s.n_transect,
+            )
+            n_peaks = count_peaks_masked(samples, valid)
+            ok &= n_peaks <= s.max_peaks
+
+        stats_n = jnp.maximum(area, 1)
+        mean = jnp.sum(jnp.where(mask, aod_stat, 0.0)) / stats_n
+        sq = jnp.sum(jnp.where(mask, (aod_stat - mean) ** 2, 0.0)) / stats_n
+        sd = jnp.sqrt(sq)
+
+        return dict(
+            ok=ok, mask=mask, label=label, area=area,
+            aod_mean=mean, aod_sd=sd,
+            bbox=jnp.stack([min_r, min_c, max_r, max_c]),
+        )
+
+    def fn(aod_det, aod_stat, null_mask, thresholds, fire_rows, fire_cols,
+           fire_valid):
+        t_count = thresholds.shape[0]
+        f_count = fire_rows.shape[0]
+        h, w = aod_det.shape
+
+        masks = aod_det[None, :, :] > thresholds[:, None, None]
+        opened = binary_opening_cross(masks)
+        labels_all = jax.vmap(
+            lambda m: connected_components(m, connectivity=2)
+        )(opened)
+        size_maps = jax.vmap(component_sizes)(labels_all)  # (T, H*W+1)
+
+        def window_label(lab_img, r, c):
+            return label_window_nearest(lab_img, r, c, s.win_half)
+
+        # (T, F) nearest labels + found flags
+        lab_tf, found_tf = jax.vmap(
+            lambda lab: jax.vmap(lambda r, c: window_label(lab, r, c))(
+                fire_rows, fire_cols
+            )
+        )(labels_all)
+
+        sizes_tf = jnp.take_along_axis(size_maps, lab_tf, axis=1)
+        extents = jnp.where(
+            found_tf & fire_valid[None, :], sizes_tf, 0
+        )  # (T, F)
+
+        t_idx, has_idx = jax.vmap(
+            lambda e: _threshold_index(e, s.reject_last_threshold),
+            in_axes=1,
+        )(extents)
+        has_idx &= fire_valid
+
+        def per_fire(ti, r, c):
+            res_a = assess_at(
+                labels_all, size_maps, aod_det, aod_stat, null_mask, ti, r, c
+            )
+            if not s.use_mask_b:
+                return res_a | {"t_used": ti}
+            # python negative indexing wrap: THRESHOLD_SET[idx-1] with idx=0
+            # reads the *last* threshold (committed reference behavior,
+            # plume_identifier_rg.py:386)
+            ti_b = jnp.where(ti - 1 < 0, t_count - 1, ti - 1)
+            res_b = assess_at(
+                labels_all, size_maps, aod_det, aod_stat, null_mask, ti_b, r, c
+            )
+            sum_a = jnp.sum(res_a["mask"])
+            sum_b = jnp.sum(res_b["mask"])
+            if s.pick_larger_mask:
+                prefer_a = sum_a > sum_b
+            else:
+                prefer_a = sum_a <= sum_b
+            both = res_a["ok"] & res_b["ok"]
+            use_a = jnp.where(both, prefer_a, res_a["ok"])
+            out = {}
+            for k in ("mask", "label", "area", "aod_mean", "aod_sd", "bbox"):
+                av, bv = res_a[k], res_b[k]
+                if av.ndim:
+                    shaped = use_a.reshape((1,) * av.ndim)
+                    out[k] = jnp.where(shaped, av, bv)
+                else:
+                    out[k] = jnp.where(use_a, av, bv)
+            out["ok"] = res_a["ok"] | res_b["ok"]
+            out["t_used"] = jnp.where(use_a, ti, ti_b)
+            return out
+
+        res = jax.vmap(per_fire)(t_idx, fire_rows, fire_cols)
+        accepted = res["ok"] & has_idx
+        mask = res["mask"] & accepted[:, None, None]
+        if s.dilate_plume_px:
+            mask = binary_dilation_square(mask, s.dilate_plume_px)
+
+        return dict(
+            accepted=accepted,
+            mask=mask,
+            t_index=t_idx,
+            t_used=res["t_used"],
+            label=res["label"],
+            area=res["area"],
+            aod_mean=res["aod_mean"],
+            aod_sd=res["aod_sd"],
+            bbox=res["bbox"],
+            extents=extents,
+        )
+
+    return jax.jit(fn)
+
+
+def _masked_center(mask):
+    rr = lax.broadcasted_iota(jnp.float32, mask.shape, 0)
+    cc = lax.broadcasted_iota(jnp.float32, mask.shape, 1)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return (
+        jnp.sum(jnp.where(mask, rr, 0.0)) / n,
+        jnp.sum(jnp.where(mask, cc, 0.0)) / n,
+    )
+
+
+@lru_cache(maxsize=32)
+def cached_sweep_identifier(statics: SweepStatics):
+    return make_sweep_identifier(statics)

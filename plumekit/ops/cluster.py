@@ -1,0 +1,140 @@
+"""Fire clustering.
+
+Two clustering modes exist in the reference:
+
+* basic/rg: DBSCAN over fire lat/lon with haversine metric, ``min_samples=1``
+  and eps = cluster_dist_km / 6371 radians (``plume_identifier_rg.py:61-66``).
+  With ``min_samples=1`` DBSCAN degenerates to connected components of the
+  eps-neighbourhood graph, so the native implementation is a cKDTree in
+  unit-sphere chord space + union-find — exact, no sklearn dependency.
+  Fire counts per scene are O(10²–10³); this stays host-side (SURVEY.md §2.1).
+* gaussian: rasterise fires onto the grid, 8-connected label, drop clusters
+  under 3 px, take integer centroids
+  (``plume_identifier_gaussian_profile.py:126-139, 480-483``). This runs on
+  device with fixed fire capacity (:func:`raster_cluster_centroids`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+#: sphere radius (km) used to convert eps_km → radians, matching the
+#: reference's ``eps=CLUSTER_DIST / 6371.`` (``plume_identifier_rg.py:63``)
+DBSCAN_EARTH_RADIUS_KM = 6371.0
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        while p[i] != i:
+            p[i] = p[p[i]]
+            i = p[i]
+        return i
+
+    def union(self, i: int, j: int) -> None:
+        ri, rj = self.find(i), self.find(j)
+        if ri != rj:
+            self.parent[max(ri, rj)] = min(ri, rj)
+
+
+def dbscan_haversine(lats, lons, eps_km: float, min_samples: int = 1
+                     ) -> np.ndarray:
+    """Cluster labels (0..K-1, ordered by first occurrence) for points within
+    ``eps_km`` great-circle distance — exact DBSCAN(min_samples=1) semantics.
+    """
+    if min_samples != 1:
+        raise NotImplementedError(
+            "reference uses min_samples=1 (plume_identifier_rg.py:63); "
+            "general DBSCAN is out of scope"
+        )
+    from scipy.spatial import cKDTree
+
+    lats = np.radians(np.asarray(lats, dtype=np.float64))
+    lons = np.radians(np.asarray(lons, dtype=np.float64))
+    n = lats.size
+    if n == 0:
+        return np.zeros((0,), dtype=np.int64)
+    xyz = np.column_stack(
+        [np.cos(lats) * np.cos(lons), np.cos(lats) * np.sin(lons), np.sin(lats)]
+    )
+    eps_angle = eps_km / DBSCAN_EARTH_RADIUS_KM
+    chord = 2.0 * np.sin(eps_angle / 2.0)
+    tree = cKDTree(xyz)
+    uf = _UnionFind(n)
+    for i, j in tree.query_pairs(chord):
+        uf.union(i, j)
+    roots = np.array([uf.find(i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    # reorder by first occurrence (sklearn label order); cosmetic only
+    order = {}
+    out = np.empty(n, dtype=np.int64)
+    for i, r in enumerate(labels):
+        if r not in order:
+            order[r] = len(order)
+        out[i] = order[r]
+    return out
+
+
+def mean_cluster_positions(fire_df, eps_km: float):
+    """Cluster fires and return per-cluster mean (latitude, longitude) — the
+    reference's ``mean_fire_position`` (``plume_identifier_rg.py:61-66``)."""
+    labels = dbscan_haversine(
+        fire_df["latitude"].to_numpy(), fire_df["longitude"].to_numpy(), eps_km
+    )
+    df = fire_df.copy()
+    df["cluster_id"] = labels
+    return df.groupby("cluster_id").agg({"latitude": "mean", "longitude": "mean"})
+
+
+def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
+                             min_size: int):
+    """Device fire clustering for the gaussian detector.
+
+    Rasterise valid fires onto ``shape``, 8-connected label, drop clusters
+    smaller than ``min_size`` px, and return one integer centroid per cluster
+    (truncated, as the reference's ``.astype(int)``,
+    ``plume_identifier_gaussian_profile.py:482-483``) packed into fixed (F,)
+    arrays with a validity mask.
+    """
+    import jax.numpy as jnp
+
+    from plumekit.ops.ccl import connected_components, remove_small_components
+
+    h, w = shape
+    f = rows.shape[0]
+    grid = jnp.zeros((h, w), dtype=bool)
+    safe_r = jnp.where(valid, rows, 0)
+    safe_c = jnp.where(valid, cols, 0)
+    grid = grid.at[safe_r, safe_c].set(valid, mode="drop")
+
+    labels = connected_components(grid, connectivity=2)
+    labels = remove_small_components(labels, min_size)
+
+    fire_labels = jnp.where(valid, labels[safe_r, safe_c], 0)
+    alive = fire_labels != 0
+    # first-occurrence dedup over the (small) fire capacity axis
+    eq = fire_labels[:, None] == fire_labels[None, :]
+    earlier = jnp.tril(eq, k=-1).any(axis=1)
+    is_rep = alive & ~earlier
+
+    def centroid(lab):
+        m = labels == lab
+        n = jnp.maximum(jnp.sum(m), 1)
+        rr = jnp.sum(jnp.where(m, jnp.arange(h)[:, None], 0)) / n
+        cc = jnp.sum(jnp.where(m, jnp.arange(w)[None, :], 0)) / n
+        return rr.astype(jnp.int32), cc.astype(jnp.int32)
+
+    import jax
+
+    cr, ccol = jax.vmap(centroid)(jnp.where(is_rep, fire_labels, -1))
+    return (
+        jnp.where(is_rep, cr, 0),
+        jnp.where(is_rep, ccol, 0),
+        is_rep,
+    )

@@ -1,0 +1,187 @@
+"""Transect sampling, Savitzky–Golay smoothing and peak counting on device.
+
+Reference semantics being reproduced (the "CHECK 5/6 plume profile" gates):
+
+* rg: sample AOD along the minor-axis line across the plume bbox with
+  bilinear ``map_coordinates``, smooth with ``savgol_filter(., 17, 3)``, and
+  accept if ``find_peaks`` finds ≤ 1 peak (``plume_identifier_rg.py:319-354``);
+* gaussian: same transect but masked to in-plume samples, unsmoothed, ≤ 3
+  peaks (``plume_identifier_gaussian_profile.py:398-448``).
+
+Design notes:
+
+* the reference filters the 1000 fixed samples down to a ragged in-bounds run
+  and calls scipy on the compacted array. Because the kept region of a line
+  inside a bbox is a single contiguous run, a masked fixed-length formulation
+  is exactly equivalent: we locate the run (first index + length), apply the
+  interior correlation plus scipy's polynomial edge treatment at the run's
+  (dynamic) endpoints, and count peaks only inside the run;
+* ``find_peaks`` (no arguments) counts strict-rise → strict-fall transitions
+  with plateau tolerance; that equals counting sign changes +→− in the
+  forward-filled difference signs, implemented as an associative scan.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Savitzky–Golay
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def savgol_coefficients(window: int, polyorder: int):
+    """(interior kernel, left-edge matrix, right-edge matrix) as numpy
+    constants. Interior kernel matches ``scipy.signal.savgol_coeffs``; edge
+    matrices reproduce scipy's default ``mode='interp'`` polynomial-fit edges:
+    ``left @ y[:window]`` gives the first ``window//2`` outputs, ``right @
+    y[-window:]`` the last ``window//2``."""
+    half = window // 2
+    # least-squares fit of a degree-`polyorder` polynomial on window offsets
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    a_fit = np.vander(x, polyorder + 1, increasing=True)  # (window, p+1)
+    proj = np.linalg.pinv(a_fit)                           # (p+1, window)
+    kernel = proj[0]                                       # evaluate at 0
+    # edges: fit on the first/last `window` samples at positions 0..window-1,
+    # evaluate at 0..half-1 (left) / half+1..window-1 (right)
+    pos = np.arange(window, dtype=np.float64)
+    a_pos = np.vander(pos, polyorder + 1, increasing=True)
+    proj_pos = np.linalg.pinv(a_pos)
+    left = np.vander(pos[:half], polyorder + 1, increasing=True) @ proj_pos
+    right = np.vander(pos[half + 1 :], polyorder + 1, increasing=True) @ proj_pos
+    return (
+        kernel.astype(np.float32),
+        left.astype(np.float32),
+        right.astype(np.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "polyorder"))
+def savgol_smooth(values, valid, window: int, polyorder: int):
+    """Savitzky–Golay smooth the single contiguous valid run inside
+    ``values`` (fixed length N, boolean ``valid``), with scipy 'interp' edge
+    handling at the run boundaries.
+
+    Returns ``(smoothed, ok)``; ``ok`` is False when the run is shorter than
+    ``window`` (scipy would raise there — the reference catches it and
+    rejects the plume, ``plume_identifier_rg.py:305-307``).
+    """
+    kernel_np, left_np, right_np = savgol_coefficients(window, polyorder)
+    kernel = jnp.asarray(kernel_np)
+    left = jnp.asarray(left_np)
+    right = jnp.asarray(right_np)
+    half = window // 2
+    n = values.shape[0]
+
+    start = jnp.argmax(valid)              # first index of the run
+    length = jnp.sum(valid)                # run length
+    ok = length >= window
+
+    run = jnp.roll(values, -start)         # run now occupies [0, length)
+
+    # interior: correlation with the (symmetric) kernel as an explicit
+    # shifted-stack dot — faster to compile than jnp.convolve and pinned to
+    # full fp32 accumulation
+    padded = jnp.pad(run, (half, half))
+    stacked = jnp.stack([padded[j : j + n] for j in range(window)])  # (window, n)
+    interior = jnp.einsum(
+        "w,wn->n", kernel, stacked, precision=lax.Precision.HIGHEST
+    )
+
+    left_vals = left @ lax.dynamic_slice(run, (0,), (window,))
+    right_start = jnp.maximum(length - window, 0)
+    right_vals = right @ lax.dynamic_slice(
+        jnp.roll(run, -right_start), (0,), (window,)
+    )
+
+    idx = jnp.arange(n)
+    out = interior
+    out = jnp.where(idx < half, left_vals[jnp.clip(idx, 0, half - 1)], out)
+    r_idx = jnp.clip(idx - (length - half), 0, half - 1)
+    out = jnp.where(idx >= length - half, right_vals[r_idx], out)
+    out = jnp.roll(out, start)
+    return jnp.where(valid, out, 0.0), ok
+
+
+# ---------------------------------------------------------------------------
+# Peak counting
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def count_peaks_masked(values, valid):
+    """Number of ``scipy.signal.find_peaks`` peaks among the valid samples.
+
+    A peak is a strict rise followed (across any plateau) by a strict fall.
+    Invalid samples act as run boundaries (no peaks across or at them),
+    matching scipy on each contiguous valid run.
+    """
+    v = values
+    d = v[1:] - v[:-1]
+    dvalid = valid[1:] & valid[:-1]
+    sign = jnp.where(dvalid, jnp.sign(d), 0.0)
+    # barrier at invalid diffs: reset the forward-fill so rises can't pair
+    # with falls across a gap
+    is_set = (sign != 0.0) | ~dvalid
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    reset_val = jnp.where(dvalid, sign, 0.0)
+    ff, _ = lax.associative_scan(combine, (reset_val, is_set))
+    # peak between diff i-1 and i: previous filled sign +1, current sign -1
+    prev = jnp.concatenate([jnp.zeros((1,), ff.dtype), ff[:-1]])
+    peaks = (sign < 0) & (prev > 0) & dvalid
+    return jnp.sum(peaks)
+
+
+# ---------------------------------------------------------------------------
+# Line transects
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def line_transect(aod, slope, intercept, min_r, min_c, max_r, max_c,
+                  n_samples: int = 1000):
+    """Sample AOD along ``y = slope*x + intercept`` for x in
+    [min_c, max_c] with ``n_samples`` points, keeping samples whose y lies
+    strictly inside (min_r, max_r) — the rg transect construction
+    (``plume_identifier_rg.py:331-344``). Bilinear interpolation matches
+    ``scipy.ndimage.map_coordinates(order=1)``.
+
+    Returns ``(samples, valid)`` of fixed length ``n_samples``.
+    """
+    t = jnp.arange(n_samples, dtype=jnp.float32) / (n_samples - 1)
+    x = min_c + (max_c - min_c) * t
+    y = slope * x + intercept
+    valid = (y > min_r) & (y < max_r)
+    samples = jax.scipy.ndimage.map_coordinates(
+        aod, [jnp.clip(y, 0, aod.shape[0] - 1), jnp.clip(x, 0, aod.shape[1] - 1)],
+        order=1,
+    )
+    return samples, valid
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def line_transect_in_mask(aod, mask, slope, intercept, min_r, min_c, max_r,
+                          max_c, n_samples: int = 1000):
+    """Gaussian-variant transect: additionally require the *integer* sample
+    cell to be inside the plume mask
+    (``plume_identifier_gaussian_profile.py:425-427`` uses
+    ``mask[y.astype(int), x.astype(int)]``)."""
+    samples, valid = line_transect(
+        aod, slope, intercept, min_r, min_c, max_r, max_c, n_samples
+    )
+    t = jnp.arange(n_samples, dtype=jnp.float32) / (n_samples - 1)
+    x = min_c + (max_c - min_c) * t
+    y = slope * x + intercept
+    yi = jnp.clip(y.astype(jnp.int32), 0, mask.shape[0] - 1)
+    xi = jnp.clip(x.astype(jnp.int32), 0, mask.shape[1] - 1)
+    inside = mask[yi, xi]
+    return samples, valid & inside

@@ -1,0 +1,53 @@
+"""Wall-clock stage timers with JAX-aware synchronisation."""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Dict
+
+
+def _sync(x):
+    """Block until device work feeding ``x`` is done (no-op for host values)."""
+    try:
+        import jax
+
+        jax.block_until_ready(x)
+    except Exception:
+        pass
+    return x
+
+
+class Timer:
+    """Context manager measuring wall seconds; ``timer.elapsed`` afterwards."""
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self._t0
+        return False
+
+
+class StageTimes:
+    """Accumulates named stage durations; ``sync=`` forces device completion."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextmanager
+    def stage(self, name: str, sync=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                _sync(sync)
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def summary(self) -> Dict[str, float]:
+        return dict(self.totals)
