@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""plumekit benchmark — full-granule sliding-window U-Net inference
+(BASELINE.json config 3, the headline metric: segmentation MPix/s/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "MPix/s/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against a same-architecture torch-CPU U-Net
+forward (the reference stack is torch-era CPU Python; it ships no benchmarks
+— BASELINE.md — so the baseline is measured here, not cited).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "1024"))
+TILE = 256
+OVERLAP = 32
+REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "5"))
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
+    from plumekit.infer import make_sliding_infer
+    from plumekit.models import UNet
+    from plumekit.train.state import create_state
+
+    unet_cfg = UNetConfig()  # base 32, depth 4, bf16 compute
+    state = create_state(jax.random.PRNGKey(0), unet_cfg,
+                         TrainConfig(tile_size=TILE))
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    model = UNet(unet_cfg)
+    infer = make_sliding_infer(
+        model.apply,
+        InferConfig(tile_size=TILE, overlap=OVERLAP, batch_tiles=16),
+        channels=unet_cfg.in_channels,
+    )
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.random((GRANULE, GRANULE, unet_cfg.in_channels), np.float32)
+    )
+    probs, mask = infer(variables, image)        # compile + warm-up
+    jax.block_until_ready(probs)
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        probs, mask = infer(variables, image)
+    jax.block_until_ready(probs)
+    dt = time.perf_counter() - t0
+    return GRANULE * GRANULE * REPEATS / dt / 1e6
+
+
+def bench_torch_cpu() -> float:
+    """Same U-Net (32-base, depth-4, batchnorm) in torch CPU eval —
+    per-pixel forward throughput on TILE² tiles."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    def double(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+            nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+        )
+
+    class TorchUNet(nn.Module):
+        def __init__(self, cin=2, base=32, depth=4):
+            super().__init__()
+            self.downs = nn.ModuleList()
+            f = base
+            c = cin
+            for _ in range(depth):
+                self.downs.append(double(c, f))
+                c, f = f, f * 2
+            self.bottleneck = double(c, f)
+            self.ups = nn.ModuleList()
+            self.upconvs = nn.ModuleList()
+            for _ in range(depth):
+                self.upconvs.append(nn.ConvTranspose2d(f, f // 2, 2, 2))
+                self.ups.append(double(f, f // 2))
+                f //= 2
+            self.head = nn.Conv2d(f, 1, 1)
+            self.pool = nn.MaxPool2d(2)
+
+        def forward(self, x):
+            skips = []
+            for d in self.downs:
+                x = d(x)
+                skips.append(x)
+                x = self.pool(x)
+            x = self.bottleneck(x)
+            for up, dc, skip in zip(self.upconvs, self.ups,
+                                    reversed(skips)):
+                x = up(x)
+                x = dc(torch.cat([skip, x], dim=1))
+            return self.head(x)
+
+    model = TorchUNet().eval()
+    x = torch.rand(1, 2, TILE, TILE)
+    with torch.no_grad():
+        model(x)  # warm-up
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            model(x)
+        dt = time.perf_counter() - t0
+    return TILE * TILE * n / dt / 1e6
+
+
+def main() -> int:
+    value = bench_tpu()
+    try:
+        baseline = bench_torch_cpu()
+    except Exception as e:  # torch missing/broken must not kill the bench
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline = float("nan")
+    vs = value / baseline if baseline == baseline else float("nan")
+    print(json.dumps({
+        "metric": "unet_sliding_window_inference",
+        "value": round(value, 2),
+        "unit": "MPix/s/chip",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,322 @@
+"""Command-line entry points.
+
+The reference README promises ``make_dataset`` / ``build_features`` /
+``train_model`` / ``predict_model`` (``README.md:27-49``) but none exist on
+disk (SURVEY.md §0). plumekit ships them, plus ``identify`` (the batch
+drivers of ``plume_identifier_*.main()``) and ``select`` (the curation tool).
+
+Usage: ``plumekit <command> [options]`` or ``python -m plumekit.cli ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from plumekit.config import PathsConfig
+from plumekit.utils import get_logger
+
+logger = get_logger("plumekit.cli")
+
+
+def _add_root(p: argparse.ArgumentParser):
+    p.add_argument("--root", default=os.environ.get("PLUMEKIT_ROOT", "data"),
+                   help="workspace root (reference filepaths.py:7)")
+
+
+def cmd_make_dataset(args) -> int:
+    """Generate (synthetic) granules + a VIIRS-like fire CSV into the
+    reference's directory layout."""
+    from plumekit.io.granule import save_granule
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+
+    paths = PathsConfig(root=args.root)
+    maiac_dir = paths.resolve("maiac_dir")
+    fires_dir = paths.resolve("fires_dir")
+    fire_frames = []
+    for i in range(args.n_granules):
+        scene = make_scene(
+            SyntheticSceneConfig(
+                size=args.size, n_plumes=args.plumes, seed=args.seed + i,
+                background_level=0.2, background_noise=0.05,
+                plume_amplitude=(0.6, 0.8), plume_sigma_major=(9.0, 14.0),
+                plume_sigma_minor=(1.8, 2.6),
+                fires_per_plume=(7, 9), extra_fires=4, null_blobs=1,
+            )
+        )
+        out = os.path.join(maiac_dir, scene.granule.name + ".npz")
+        save_granule(out, scene.granule)
+        fire_frames.append(scene.fires)
+        logger.info("wrote %s (%d fires)", out, len(scene.fires))
+    import pandas as pd
+
+    fires = pd.concat(fire_frames, ignore_index=True)
+    fire_csv = os.path.join(fires_dir, "fires.csv")
+    fires.drop(columns=["date_time"]).to_csv(fire_csv, index=False)
+    logger.info("wrote %s (%d rows)", fire_csv, len(fires))
+    return 0
+
+
+def cmd_build_features(args) -> int:
+    """Batch identify over every granule — the reference's
+    ``plume_identifier_{rg,gaussian}.main()`` loop (resumable via WorkLog)."""
+    import pandas as pd
+
+    from plumekit.config.identify import GaussianIdentifyConfig, RGIdentifyConfig
+    from plumekit.identify import rg as rg_mod
+    from plumekit.identify import gaussian as gaussian_mod
+    from plumekit.io.fires import load_fire_csv
+    from plumekit.io.granule import load_granule
+    from plumekit.train.checkpoint import WorkLog
+
+    paths = PathsConfig(root=args.root)
+    maiac_dir = paths.resolve("maiac_dir")
+    log = WorkLog(os.path.join(paths.resolve("log_dir"),
+                               f"{args.detector}_log.txt"))
+    fire_df = load_fire_csv(os.path.join(paths.resolve("fires_dir"),
+                                         "fires.csv"))
+    aod_dir = paths.resolve("aod_df_dir")
+    hull_dir = paths.resolve("hull_df_dir")
+
+    n_done = 0
+    for fname in sorted(os.listdir(maiac_dir)):
+        if not fname.endswith((".npz", ".h5", ".hdf")):
+            continue
+        if log.done(fname):
+            logger.info("%s already processed, continuing...", fname)
+            continue
+        granule = load_granule(os.path.join(maiac_dir, fname))
+        date = fire_df.date_time.iloc[0]
+        base = os.path.splitext(fname)[0]
+        if args.detector == "rg":
+            aod_df, hull_df, _ = rg_mod.identify(
+                granule.first_layer(), granule.lat, granule.lon, date,
+                fire_df, RGIdentifyConfig(),
+            )
+            aod_df.to_csv(os.path.join(aod_dir, base + "_aod.csv"),
+                          index=False)
+        else:
+            hull_df = gaussian_mod.identify_granule(
+                granule, fire_df, date, GaussianIdentifyConfig()
+            )
+        hull_df.to_csv(os.path.join(hull_dir, base + "_extent.csv"),
+                       index=False)
+        log.mark(fname)
+        n_done += 1
+        logger.info("%s: %d plumes", base,
+                    hull_df.id.nunique() if len(hull_df) else 0)
+    logger.info("processed %d granules", n_done)
+    return 0
+
+
+def cmd_train_model(args) -> int:
+    from plumekit.config.train import DataConfig, MeshConfig, TrainConfig, UNetConfig
+    from plumekit.train.loop import train
+
+    mesh = None
+    if args.data_parallel > 1:
+        mesh = MeshConfig(data=args.data_parallel)
+    history = train(
+        unet_cfg=UNetConfig(),
+        train_cfg=TrainConfig(
+            total_steps=args.steps, batch_size=args.batch_size,
+            tile_size=args.tile, checkpoint_dir=os.path.join(
+                args.root, PathsConfig().model_dir, "checkpoints"),
+        ),
+        data_cfg=DataConfig(granule_size=args.granule_size),
+        mesh_cfg=mesh,
+    )
+    logger.info("final eval IoU %.3f", history["eval_iou"][-1])
+    return 0
+
+
+def cmd_predict_model(args) -> int:
+    """Sliding-window inference over granules → plume-probability NPZs."""
+    import jax
+    import jax.numpy as jnp
+
+    from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
+    from plumekit.infer import make_sliding_infer, pad_to_multiple
+    from plumekit.io.granule import load_granule, NULL_VALUE
+    from plumekit.models import UNet
+    from plumekit.train.checkpoint import restore_checkpoint, latest_step
+    from plumekit.train.data import fire_channel
+    from plumekit.train.state import create_state
+
+    paths = PathsConfig(root=args.root)
+    unet_cfg = UNetConfig()
+    state = create_state(jax.random.PRNGKey(0), unet_cfg, TrainConfig())
+    ckpt_dir = args.checkpoint or os.path.join(args.root,
+                                               PathsConfig().model_dir,
+                                               "checkpoints")
+    if latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        logger.info("restored checkpoint step %s", latest_step(ckpt_dir))
+    else:
+        logger.warning("no checkpoint found in %s — predicting with "
+                       "untrained weights", ckpt_dir)
+
+    model = UNet(unet_cfg)
+    infer = make_sliding_infer(model.apply, InferConfig(tile_size=args.tile),
+                               channels=unet_cfg.in_channels)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    out_dir = os.path.join(args.root, "processed", "predictions")
+    os.makedirs(out_dir, exist_ok=True)
+    maiac_dir = paths.resolve("maiac_dir")
+    for fname in sorted(os.listdir(maiac_dir)):
+        if not fname.endswith((".npz", ".h5", ".hdf")):
+            continue
+        granule = load_granule(os.path.join(maiac_dir, fname))
+        aod = granule.first_layer().copy()
+        aod[aod == NULL_VALUE] = 0.0
+        channels = np.stack(
+            [aod, fire_channel(aod.shape, [], [])], axis=-1
+        ).astype(np.float32)
+        padded, (h, w) = pad_to_multiple(channels, 2**unet_cfg.depth)
+        probs, mask = infer(variables, jnp.asarray(padded))
+        probs = np.asarray(probs)[:h, :w]
+        out = os.path.join(out_dir, os.path.splitext(fname)[0] + "_pred.npz")
+        np.savez_compressed(out, probs=probs, mask=probs > 0.5)
+        logger.info("%s: %.1f%% plume pixels", out,
+                    100.0 * float((probs > 0.5).mean()))
+    return 0
+
+
+def cmd_identify(args) -> int:
+    """Single-granule identification (any detector)."""
+    from plumekit.config.identify import (
+        BasicIdentifyConfig, GaussianIdentifyConfig, RGIdentifyConfig,
+    )
+    from plumekit.identify.api import identify
+    from plumekit.io.fires import load_fire_csv
+    from plumekit.io.granule import load_granule
+
+    cfg = {"rg": RGIdentifyConfig(), "gaussian": GaussianIdentifyConfig(),
+           "basic": BasicIdentifyConfig()}[args.detector]
+    granule = load_granule(args.granule)
+    fire_df = load_fire_csv(args.fires)
+    ps = identify(granule, fire_df, fire_df.date_time.iloc[0], cfg)
+    print(f"{len(ps)} plumes")
+    if args.out and len(ps.hulls):
+        ps.hulls.to_csv(args.out, index=False)
+        logger.info("wrote %s", args.out)
+    return 0
+
+
+def cmd_select(args) -> int:
+    """Curation: export review artifacts or apply a decisions CSV
+    (reference plume_selector.main semantics, non-blocking)."""
+    import pandas as pd
+
+    from plumekit.io.granule import load_granule
+    from plumekit.label import export_review_batch, apply_decisions
+
+    paths = PathsConfig(root=args.root)
+    hull_dir = paths.resolve("hull_df_dir")
+    maiac_dir = paths.resolve("maiac_dir")
+    for fname in sorted(os.listdir(hull_dir)):
+        if not fname.endswith("_extent.csv"):
+            continue
+        hull_df = pd.read_csv(os.path.join(hull_dir, fname))
+        if "datetime" not in hull_df.columns:
+            hull_df["datetime"] = "layer0"
+        base = fname.replace("_extent.csv", "")
+        gpath = None
+        for ext in (".npz", ".h5", ".hdf"):
+            cand = os.path.join(maiac_dir, base + ext)
+            if os.path.exists(cand):
+                gpath = cand
+                break
+        if gpath is None:
+            logger.warning("no granule for %s", fname)
+            continue
+        granule = load_granule(gpath)
+        if args.decisions:
+            dec = pd.read_csv(args.decisions)
+            keep_set = {
+                (int(r.id), str(r.datetime))
+                for r in dec.itertuples() if str(r.keep).lower() in
+                ("1", "true", "yes", "y")
+            }
+            kept, rejected = apply_decisions(
+                hull_df, granule,
+                lambda r: (r.plume_id, r.datetime) in keep_set,
+            )
+            kept.to_csv(os.path.join(paths.resolve("reduced_plume_hull_dir"),
+                                     fname), index=False)
+            rejected.to_csv(
+                os.path.join(paths.resolve("reduced_not_plume_hull_dir"),
+                             fname), index=False)
+            logger.info("%s: kept %d / rejected %d plume rows", base,
+                        len(kept), len(rejected))
+        else:
+            out_dir = os.path.join(args.root, "review", base)
+            manifest = export_review_batch(hull_df, granule, out_dir)
+            logger.info("%s: %d plumes staged for review in %s", base,
+                        len(manifest), out_dir)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="plumekit",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("make_dataset", help="generate granules + fire CSV")
+    _add_root(d)
+    d.add_argument("--n-granules", type=int, default=4)
+    d.add_argument("--size", type=int, default=512)
+    d.add_argument("--plumes", type=int, default=4)
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=cmd_make_dataset)
+
+    f = sub.add_parser("build_features", help="batch identify → CSVs")
+    _add_root(f)
+    f.add_argument("--detector", choices=["rg", "gaussian"], default="rg")
+    f.set_defaults(fn=cmd_build_features)
+
+    t = sub.add_parser("train_model", help="train the U-Net")
+    _add_root(t)
+    t.add_argument("--steps", type=int, default=200)
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--tile", type=int, default=256)
+    t.add_argument("--granule-size", type=int, default=512)
+    t.add_argument("--data-parallel", type=int, default=1)
+    t.set_defaults(fn=cmd_train_model)
+
+    pr = sub.add_parser("predict_model", help="sliding-window inference")
+    _add_root(pr)
+    pr.add_argument("--checkpoint", default=None)
+    pr.add_argument("--tile", type=int, default=256)
+    pr.set_defaults(fn=cmd_predict_model)
+
+    i = sub.add_parser("identify", help="identify plumes in one granule")
+    i.add_argument("granule")
+    i.add_argument("fires")
+    i.add_argument("--detector", choices=["rg", "gaussian", "basic"],
+                   default="rg")
+    i.add_argument("--out", default=None)
+    i.set_defaults(fn=cmd_identify)
+
+    s = sub.add_parser("select", help="plume curation (review/decisions)")
+    _add_root(s)
+    s.add_argument("--decisions", default=None,
+                   help="CSV with id,datetime,keep columns")
+    s.set_defaults(fn=cmd_select)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

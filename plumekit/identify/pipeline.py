@@ -175,7 +175,7 @@ def make_sweep_identifier(statics: SweepStatics):
             smoothed, sg_ok = savgol_smooth(
                 samples, valid, s.savgol_window, s.savgol_polyorder
             )
-            n_peaks = count_peaks_masked(smoothed, valid)
+            n_peaks = count_peaks_masked(smoothed, valid, _flat_tol(smoothed, valid))
             ok &= sg_ok                      # scipy raise → except → reject
             ok &= n_peaks <= s.max_peaks
         else:
@@ -185,7 +185,7 @@ def make_sweep_identifier(statics: SweepStatics):
                 max_r.astype(jnp.float32), max_c.astype(jnp.float32),
                 n_samples=s.n_transect,
             )
-            n_peaks = count_peaks_masked(samples, valid)
+            n_peaks = count_peaks_masked(samples, valid, _flat_tol(samples, valid))
             ok &= n_peaks <= s.max_peaks
 
         stats_n = jnp.maximum(area, 1)
@@ -193,10 +193,18 @@ def make_sweep_identifier(statics: SweepStatics):
         sq = jnp.sum(jnp.where(mask, (aod_stat - mean) ** 2, 0.0)) / stats_n
         sd = jnp.sqrt(sq)
 
+        gates = jnp.stack(
+            [found, area >= s.min_plume_pixels, area <= s.max_plume_pixels,
+             aod_max >= s.max_lim, ratio >= s.axis_ratio,
+             n_peaks <= s.max_peaks]
+        )
+        dbg = jnp.stack([slope, intercept, jnp.float32(d_minor),
+                         jnp.float32(d_major)])
         return dict(
             ok=ok, mask=mask, label=label, area=area,
             aod_mean=mean, aod_sd=sd,
             bbox=jnp.stack([min_r, min_c, max_r, max_c]),
+            gates=gates, n_peaks=n_peaks, dbg=dbg,
         )
 
     def fn(aod_det, aod_stat, null_mask, thresholds, fire_rows, fire_cols,
@@ -264,6 +272,12 @@ def make_sweep_identifier(statics: SweepStatics):
                     out[k] = jnp.where(use_a, av, bv)
             out["ok"] = res_a["ok"] | res_b["ok"]
             out["t_used"] = jnp.where(use_a, ti, ti_b)
+            out["gates_a"] = res_a["gates"]
+            out["gates_b"] = res_b["gates"]
+            out["n_peaks_a"] = res_a["n_peaks"]
+            out["n_peaks_b"] = res_b["n_peaks"]
+            out["dbg_a"] = res_a["dbg"]
+            out["dbg_b"] = res_b["dbg"]
             return out
 
         res = jax.vmap(per_fire)(t_idx, fire_rows, fire_cols)
@@ -272,7 +286,7 @@ def make_sweep_identifier(statics: SweepStatics):
         if s.dilate_plume_px:
             mask = binary_dilation_square(mask, s.dilate_plume_px)
 
-        return dict(
+        ret = dict(
             accepted=accepted,
             mask=mask,
             t_index=t_idx,
@@ -284,8 +298,22 @@ def make_sweep_identifier(statics: SweepStatics):
             bbox=res["bbox"],
             extents=extents,
         )
+        for k in ("gates_a", "gates_b", "n_peaks_a", "n_peaks_b", "gates",
+                  "n_peaks", "dbg_a", "dbg_b", "dbg"):
+            if k in res:
+                ret[k] = res[k]
+        return ret
 
     return jax.jit(fn)
+
+
+def _flat_tol(values, valid):
+    """A few-ULP flatness tolerance for fp32 peak counting: 32 eps of the
+    valid dynamic range (see :func:`count_peaks_masked`)."""
+    vmax = jnp.max(jnp.where(valid, values, -jnp.inf))
+    vmin = jnp.min(jnp.where(valid, values, jnp.inf))
+    rng = jnp.where(jnp.isfinite(vmax - vmin), vmax - vmin, 0.0)
+    return 32.0 * jnp.float32(1.1920929e-7) * rng
 
 
 def _masked_center(mask):

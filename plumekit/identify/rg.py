@@ -1,0 +1,168 @@
+"""Threshold-sweep ("region growth") detector — the reference's
+``plume_identifier_rg.py`` re-expressed on the device sweep pipeline.
+
+Host side: fire subsetting/clustering/location and convex-hull extraction
+(ragged); device side: the full 20-threshold sweep, CCL, extents, threshold
+index and acceptance gates as one jitted program
+(:mod:`plumekit.identify.pipeline`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import jax.numpy as jnp
+
+from plumekit.config.identify import RGIdentifyConfig
+from plumekit.identify.locate import locate_fires_in_image, pad_fires
+from plumekit.identify.pipeline import SweepStatics, cached_sweep_identifier
+from plumekit.io.fires import subset_fires_to_image
+from plumekit.ops.cluster import mean_cluster_positions
+from plumekit.ops.geometry import convex_hull_vertices_host
+from plumekit.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def _statics(cfg: RGIdentifyConfig) -> SweepStatics:
+    return SweepStatics(
+        win_half=cfg.win_half,
+        min_plume_pixels=cfg.min_plume_pixels,
+        max_plume_pixels=cfg.max_plume_pixels,
+        max_lim=cfg.max_lim,
+        axis_ratio=cfg.side_ratio,
+        max_peaks=cfg.max_peaks,
+        n_transect=cfg.n_transect,
+        savgol_window=cfg.savgol_window,
+        savgol_polyorder=cfg.savgol_polyorder,
+        check_null=False,
+        use_mask_b=True,
+        pick_larger_mask=cfg.compat.pick_larger_mask,
+        reject_last_threshold=cfg.compat.reject_last_threshold,
+        dilate_plume_px=0,
+    )
+
+
+def identify(
+    aod: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    date_to_find,
+    fire_df: pd.DataFrame,
+    cfg: RGIdentifyConfig = RGIdentifyConfig(),
+) -> Tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """Per-scene identification (``plume_identifier_rg.py:460-506`` call
+    order). Returns ``(aod_df, hull_df, device_out)``; dataframes use the
+    reference's column names so downstream tooling (selector) is drop-in.
+    Empty results yield empty dataframes (the reference returns ``(None,
+    None)`` after an exception; SURVEY.md bug #7 — we fail loudly instead of
+    swallowing)."""
+    fire_subset = subset_fires_to_image(lat, lon, fire_df, date_to_find,
+                                        min_frp=cfg.min_frp)
+    logger.info("...extracted %d fires for image roi", len(fire_subset))
+
+    if len(fire_subset):
+        clusters = mean_cluster_positions(fire_subset, cfg.cluster_dist_km)
+        rows, cols = locate_fires_in_image(
+            clusters.latitude, clusters.longitude, lat, lon, cfg.win_half
+        )
+    else:
+        rows = cols = np.zeros((0,), np.int32)
+    logger.info("...located %d fire clusters on grid", len(rows))
+    if len(rows) > cfg.max_fires:
+        logger.warning(
+            "fire clusters (%d) exceed capacity (%d); truncating",
+            len(rows), cfg.max_fires,
+        )
+
+    f_rows, f_cols, f_valid = pad_fires(rows, cols, cfg.max_fires)
+    thresholds = np.asarray(cfg.thresholds, dtype=np.float32)
+
+    fn = cached_sweep_identifier(_statics(cfg))
+    aod_j = jnp.asarray(aod, dtype=jnp.float32)
+    out = fn(
+        aod_j, aod_j, jnp.zeros(aod.shape, bool), jnp.asarray(thresholds),
+        jnp.asarray(f_rows), jnp.asarray(f_cols), jnp.asarray(f_valid),
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    aod_df, hull_df = build_scene_dataframes(out, lat, lon)
+    return aod_df, hull_df, out
+
+
+def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
+                           dedup: bool = True):
+    """Assemble the reference's two outputs from the device result:
+
+    * ``aod_df``: one row per accepted plume with pixel extent, bbox, AOD
+      mean/sd, ``bg_aod_level`` = chosen threshold *index*
+      (``plume_identifier_rg.py:425-437`` stores the index, not the value);
+    * ``hull_df``: convex-hull vertices with pixel and geographic coords
+      (``:411-420``, host-side scipy hulls).
+
+    ``dedup`` reproduces the trailing duplicate drop (``:453-455``): rows
+    identical in all stats (two fires claiming one plume) collapse to the
+    first id.
+    """
+    accepted = np.nonzero(out["accepted"])[0]
+    aod_rows, hull_parts = [], []
+    plume_id = 0
+    for f in accepted:
+        mask = out["mask"][f]
+        ys, xs = np.nonzero(mask)
+        if ys.size < 3:
+            continue
+        points = np.column_stack([ys, xs])
+        try:
+            verts = convex_hull_vertices_host(points)
+        except Exception:  # degenerate (collinear) hulls
+            continue
+        hy, hx = points[verts, 0], points[verts, 1]
+        hull_parts.append(
+            pd.DataFrame(
+                {
+                    "id": np.full(hy.size, plume_id, dtype=float),
+                    "hull_lats": lat[hy, hx],
+                    "hull_lons": lon[hy, hx],
+                    "hull_x": hx,
+                    "hull_y": hy,
+                }
+            )
+        )
+        min_r, min_c, max_r, max_c = out["bbox"][f]
+        aod_rows.append(
+            {
+                "id": plume_id,
+                "plume_pixel_extent": int(out["area"][f]),
+                "plume_min_row": int(min_r),
+                "plume_max_row": int(max_r),
+                "plume_min_col": int(min_c),
+                "plume_max_col": int(max_c),
+                "plume_aod_mean": float(out["aod_mean"][f]),
+                "plume_aod_sd": float(out["aod_sd"][f]),
+                "bg_aod_level": int(out["t_index"][f]),
+            }
+        )
+        plume_id += 1
+
+    aod_df = pd.DataFrame(
+        aod_rows,
+        columns=[
+            "id", "plume_pixel_extent", "plume_min_row", "plume_max_row",
+            "plume_min_col", "plume_max_col", "plume_aod_mean",
+            "plume_aod_sd", "bg_aod_level",
+        ],
+    )
+    hull_df = (
+        pd.concat(hull_parts, ignore_index=True)
+        if hull_parts
+        else pd.DataFrame(
+            columns=["id", "hull_lats", "hull_lons", "hull_x", "hull_y"]
+        )
+    )
+    if dedup and len(aod_df):
+        deduped = aod_df.set_index("id").drop_duplicates().reset_index()
+        hull_df = hull_df[hull_df.id.isin(deduped.id)]
+        aod_df = deduped
+    return aod_df, hull_df

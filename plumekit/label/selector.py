@@ -1,0 +1,229 @@
+"""Plume curation — the reference's interactive accept/reject tool
+(``plume_selector.py``) decoupled from compute (SURVEY.md §3.4: "control
+crosses a *human* boundary").
+
+Three modes over the same core:
+
+* :func:`review_plumes` — pure function: hull dataframe + granule → per-plume
+  crops, in-hull AOD samples and the auto-reject verdict; decisions come from
+  any callable (tests use deterministic ones);
+* batch artifact mode (:func:`export_review_batch`) — writes one PNG + row
+  per plume and applies decisions from a CSV, so humans review out-of-band
+  (no blocking GUI in the compute path);
+* :func:`interactive_review` — matplotlib key-press loop ('1' keep / '0'
+  reject) for reference-style sessions (``plume_selector.py:118-134``),
+  without the global mutable ``keep`` list (SURVEY.md bug #11).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from plumekit.io.granule import Granule
+from plumekit.utils import get_logger
+
+logger = get_logger(__name__)
+
+#: crop buffer around the hull bbox (``plume_selector.py:56``)
+BUFFER_PX = 40
+#: AOD histogram bins for the auto-reject rule (``plume_selector.py:133,210``)
+HIST_BINS = np.arange(0, 1, 0.02)
+
+
+def remove_duplicated_plumes(plume_df: pd.DataFrame) -> pd.DataFrame:
+    """Drop plumes whose (datetime, rounded centroid) duplicates an earlier
+    one (``plume_selector.py:26-49``; the datetime→int mapping hack there is
+    unnecessary with modern pandas, semantics preserved)."""
+    grouped = (
+        plume_df.groupby(["id", "datetime"], sort=True)
+        .agg(hull_lats=("hull_lats", "mean"), hull_lons=("hull_lons", "mean"))
+        .reset_index()
+    )
+    non_dup = grouped.round({"hull_lats": 3, "hull_lons": 3}).drop_duplicates(
+        ["datetime", "hull_lats", "hull_lons"], keep="first"
+    )
+    non_dup = non_dup.drop(["hull_lats", "hull_lons"], axis=1)
+    return pd.merge(plume_df, non_dup, on=["id", "datetime"], how="inner")
+
+
+def subset_plume(aod: np.ndarray, plume_df: pd.DataFrame,
+                 compat_asymmetric_shift: bool = True):
+    """Crop the AOD to the hull bbox + buffer, shifting hull coords into crop
+    space (``plume_selector.py:53-85``). The committed reference only shifts
+    coordinates when the buffer isn't clamped at the 0 edge (bug #12);
+    ``compat_asymmetric_shift=False`` shifts consistently instead."""
+    min_x = plume_df.hull_x.min()
+    max_x = plume_df.hull_x.max()
+    min_y = plume_df.hull_y.min()
+    max_y = plume_df.hull_y.max()
+    hull_x = plume_df.hull_x.values.copy()
+    hull_y = plume_df.hull_y.values.copy()
+
+    if min_x - BUFFER_PX < 0:
+        if not compat_asymmetric_shift:
+            hull_x = hull_x - 0  # crop starts at 0; coords already aligned
+        min_x = 0
+    else:
+        hull_x = hull_x - min_x + BUFFER_PX
+        min_x = min_x - BUFFER_PX
+
+    if min_y - BUFFER_PX < 0:
+        min_y = 0
+    else:
+        hull_y = hull_y - min_y + BUFFER_PX
+        min_y = min_y - BUFFER_PX
+
+    max_x = aod.shape[1] if max_x + BUFFER_PX > aod.shape[1] else max_x + BUFFER_PX
+    max_y = aod.shape[0] if max_y + BUFFER_PX > aod.shape[0] else max_y + BUFFER_PX
+
+    if np.isnan([min_y, max_y, min_x, max_x]).any():
+        return None, None, None
+    return (
+        aod[int(min_y):int(max_y), int(min_x):int(max_x)],
+        hull_x,
+        hull_y,
+    )
+
+
+def find_plume_aod(plume_image: np.ndarray, hull_x, hull_y) -> np.ndarray:
+    """AOD values of pixels inside the hull (``plume_selector.py:102-116``,
+    Delaunay in-hull ≡ convex-polygon containment)."""
+    from scipy.spatial import Delaunay
+
+    h, w = plume_image.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    pts = np.column_stack([xx.ravel(), yy.ravel()])
+    hull = np.column_stack([hull_x, hull_y])
+    try:
+        inside = Delaunay(hull).find_simplex(pts) >= 0
+    except Exception:
+        return np.zeros((0,), np.float32)
+    return plume_image[yy.ravel()[inside], xx.ravel()[inside]]
+
+
+def auto_reject(in_plume_aod: np.ndarray) -> bool:
+    """True when the modal 0.02-wide histogram bin is the zero bin
+    (``plume_selector.py:210-212``)."""
+    if in_plume_aod.size == 0:
+        return True
+    h, _ = np.histogram(in_plume_aod, bins=HIST_BINS)
+    return int(np.argmax(h)) == 0
+
+
+@dataclass
+class PlumeReview:
+    plume_id: int
+    datetime: str
+    crop: Optional[np.ndarray]
+    hull_x: Optional[np.ndarray]
+    hull_y: Optional[np.ndarray]
+    in_plume_aod: Optional[np.ndarray]
+    auto_rejected: bool
+
+
+def review_plumes(hull_df: pd.DataFrame, granule: Granule) -> List[PlumeReview]:
+    """Deduplicate and prepare every plume for review (the non-interactive
+    core of ``plume_selector.main``, ``plume_selector.py:189-221``)."""
+    hull_df = remove_duplicated_plumes(hull_df)
+    out: List[PlumeReview] = []
+    for dt in hull_df.datetime.unique():
+        aod = granule.layers[dt] if dt in granule.layers else granule.first_layer()
+        dt_df = hull_df[hull_df.datetime == dt]
+        for pid in dt_df.id.unique():
+            plume_df = dt_df[dt_df.id == pid]
+            crop, hx, hy = subset_plume(aod, plume_df)
+            if crop is None:
+                out.append(PlumeReview(int(pid), dt, None, None, None, None,
+                                       True))
+                continue
+            vals = find_plume_aod(crop, hx, hy)
+            out.append(
+                PlumeReview(int(pid), dt, crop, hx, hy, vals,
+                            auto_reject(vals))
+            )
+    return out
+
+
+def apply_decisions(
+    hull_df: pd.DataFrame,
+    granule: Granule,
+    decide: Callable[[PlumeReview], bool],
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Run review; split the (deduplicated) hull dataframe into (kept,
+    rejected) by ``decide`` — auto-rejected plumes never reach ``decide``
+    (reference: zero-bin plumes are skipped before display)."""
+    hull_df = remove_duplicated_plumes(hull_df)
+    reviews = review_plumes(hull_df, granule)
+    kept_keys = {
+        (r.plume_id, r.datetime)
+        for r in reviews
+        if not r.auto_rejected and decide(r)
+    }
+    key = list(zip(hull_df.id.astype(int), hull_df.datetime))
+    mask = np.array([k in kept_keys for k in key])
+    return hull_df[mask], hull_df[~mask]
+
+
+def export_review_batch(
+    hull_df: pd.DataFrame,
+    granule: Granule,
+    out_dir: str,
+) -> pd.DataFrame:
+    """Write per-plume review artifacts (PNG crop + histogram) and a manifest
+    CSV with a blank ``keep`` column for humans to fill; returns the
+    manifest."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for r in review_plumes(hull_df, granule):
+        png = f"{granule.name}_{r.datetime}_{r.plume_id}.png"
+        if r.crop is not None:
+            fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 4))
+            vmax = float(r.in_plume_aod.max()) if r.in_plume_aod.size else 1.0
+            ax0.imshow(r.crop, vmin=0, vmax=max(vmax, 1e-3))
+            ax0.plot(r.hull_x, r.hull_y, "r--", lw=2)
+            ax1.hist(r.in_plume_aod, bins=HIST_BINS)
+            fig.savefig(os.path.join(out_dir, png), bbox_inches="tight")
+            plt.close(fig)
+        rows.append(
+            {"id": r.plume_id, "datetime": r.datetime, "png": png,
+             "auto_rejected": r.auto_rejected, "keep": ""}
+        )
+    manifest = pd.DataFrame(rows)
+    manifest.to_csv(os.path.join(out_dir, "manifest.csv"), index=False)
+    return manifest
+
+
+def interactive_review(hull_df: pd.DataFrame, granule: Granule):
+    """Reference-style blocking review: '1' keeps, '0' rejects
+    (``plume_selector.py:118-134``)."""
+    import matplotlib.pyplot as plt
+
+    def decide(r: PlumeReview) -> bool:
+        decision = {}
+
+        def press(event):
+            if event.key in ("0", "1"):
+                decision["keep"] = event.key == "1"
+                plt.close()
+
+        fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(12, 5))
+        fig.canvas.mpl_connect("key_press_event", press)
+        vmax = float(r.in_plume_aod.max()) if r.in_plume_aod.size else 1.0
+        im = ax0.imshow(r.crop, vmin=0, vmax=max(vmax, 1e-3))
+        plt.colorbar(ax=ax0, mappable=im)
+        ax0.plot(r.hull_x, r.hull_y, "r--", lw=2)
+        ax1.hist(r.in_plume_aod, bins=HIST_BINS)
+        plt.show()
+        return decision.get("keep", False)
+
+    return apply_decisions(hull_df, granule, decide)

@@ -1,0 +1,8 @@
+"""Model layer — the U-Net the reference promised but never shipped
+(``src/models/`` is empty; ``README.md:41-45``)."""
+
+from plumekit.models.unet import UNet, DoubleConv, receptive_field
+from plumekit.models.losses import bce_with_logits, dice_loss, dice_bce_loss, iou
+
+__all__ = ["UNet", "DoubleConv", "receptive_field", "bce_with_logits",
+           "dice_loss", "dice_bce_loss", "iou"]

@@ -1,0 +1,121 @@
+"""U-Net segmentation model.
+
+The reference *promises* this model ("A unet based classifier for extracting
+smoke plumes from EO images", reference ``README.md:1-4``) but ships an empty
+``src/models/`` — plumekit supplies it (BASELINE.json north star): double-conv
+encoder blocks, transposed-conv upsampling, skip concatenations, final 1×1
+conv to plume logits.
+
+TPU notes: NHWC layout (XLA's preferred conv layout on TPU), bf16 compute
+with fp32 parameters (mixed precision, config 4), feature counts kept at
+multiples of 8/128 where the MXU wants them. Norm is configurable: BatchNorm
+(cross-replica when given ``axis_name``) or GroupNorm.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from plumekit.config.train import UNetConfig
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+class _Norm(nn.Module):
+    kind: str
+    dtype: Any
+    groups: int = 8
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                dtype=self.dtype,
+                axis_name=self.axis_name if train else None,
+            )(x)
+        if self.kind == "group":
+            return nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
+                                dtype=self.dtype)(x)
+        return x
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 → norm → ReLU) × 2 — the canonical U-Net block."""
+
+    features: int
+    norm: str
+    dtype: Any
+    groups: int = 8
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        use_bias=(self.norm == "none"), dtype=self.dtype)(x)
+            x = _Norm(self.norm, self.dtype, self.groups, self.axis_name)(
+                x, train
+            )
+            x = nn.relu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Configurable-depth U-Net over NHWC tensors.
+
+    ``__call__(x, train)`` → logits (B, H, W, out_channels). H and W must be
+    divisible by ``2**depth``.
+    """
+
+    cfg: UNetConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dtype = _dtype_of(cfg.compute_dtype)
+        x = x.astype(dtype)
+
+        skips = []
+        feats = cfg.base_features
+        for _ in range(cfg.depth):
+            x = DoubleConv(feats, cfg.norm, dtype, cfg.group_norm_groups,
+                           self.axis_name)(x, train)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            feats *= 2
+
+        x = DoubleConv(feats, cfg.norm, dtype, cfg.group_norm_groups,
+                       self.axis_name)(x, train)
+
+        for skip in reversed(skips):
+            feats //= 2
+            x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
+                                 dtype=dtype)(x)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = DoubleConv(feats, cfg.norm, dtype, cfg.group_norm_groups,
+                           self.axis_name)(x, train)
+
+        logits = nn.Conv(cfg.out_channels, (1, 1), dtype=jnp.float32,
+                         name="head")(x.astype(jnp.float32))
+        return logits
+
+
+def receptive_field(depth: int) -> int:
+    """Receptive-field *radius* of the U-Net — the halo width needed for
+    spatially-sharded inference to match unsharded output exactly.
+
+    Each 3×3 conv adds one pixel of radius at its scale: encoder and decoder
+    both run a double conv at scales 2^0..2^(depth−1) and the bottleneck at
+    2^depth, so radius = Σ 2·2^i · 2 + 2·2^depth = 6·2^depth − 4.
+    """
+    return 6 * 2**depth - 4

@@ -94,10 +94,18 @@ def savgol_smooth(values, valid, window: int, polyorder: int):
         "w,wn->n", kernel, stacked, precision=lax.Precision.HIGHEST
     )
 
-    left_vals = left @ lax.dynamic_slice(run, (0,), (window,))
+    # explicit HIGHEST precision: the default matmul precision on TPU (and
+    # under some CPU plugin configs) is bf16-class and the edge projections
+    # amplify that rounding ~100x
+    left_vals = jnp.einsum(
+        "ew,w->e", left, lax.dynamic_slice(run, (0,), (window,)),
+        precision=lax.Precision.HIGHEST,
+    )
     right_start = jnp.maximum(length - window, 0)
-    right_vals = right @ lax.dynamic_slice(
-        jnp.roll(run, -right_start), (0,), (window,)
+    right_vals = jnp.einsum(
+        "ew,w->e", right,
+        lax.dynamic_slice(jnp.roll(run, -right_start), (0,), (window,)),
+        precision=lax.Precision.HIGHEST,
     )
 
     idx = jnp.arange(n)
@@ -114,17 +122,24 @@ def savgol_smooth(values, valid, window: int, polyorder: int):
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def count_peaks_masked(values, valid):
+def count_peaks_masked(values, valid, flat_tol=0.0):
     """Number of ``scipy.signal.find_peaks`` peaks among the valid samples.
 
     A peak is a strict rise followed (across any plateau) by a strict fall.
     Invalid samples act as run boundaries (no peaks across or at them),
     matching scipy on each contiguous valid run.
+
+    ``flat_tol`` treats |diff| <= flat_tol as plateau. With 0 this is exact
+    scipy semantics; the identify pipeline passes a few-ULP tolerance so that
+    fp32 rounding ripple in near-flat regions cannot mint spurious peaks
+    (real MAIAC AOD is quantised at 1e-3, far above the tolerance, so
+    decisions on real data are unchanged).
     """
     v = values
     d = v[1:] - v[:-1]
     dvalid = valid[1:] & valid[:-1]
-    sign = jnp.where(dvalid, jnp.sign(d), 0.0)
+    sign = jnp.where(jnp.abs(d) <= flat_tol, 0.0, jnp.sign(d))
+    sign = jnp.where(dvalid, sign, 0.0)
     # barrier at invalid diffs: reset the forward-fill so rises can't pair
     # with falls across a gap
     is_set = (sign != 0.0) | ~dvalid

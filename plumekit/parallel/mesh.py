@@ -1,0 +1,51 @@
+"""Device meshes and sharding helpers (SURVEY.md §2.2).
+
+Axes: ``data`` for batch (DP), ``y``/``x`` for the raster spatial plane —
+the project's context-parallel analogue (no sequences here; the long
+dimension is the 1200² granule plane, SURVEY.md §5 "long-context" row).
+Collectives are XLA's, riding ICI inside a slice; ``jax.distributed`` extends
+the same mesh across DCN for multi-host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plumekit.config.train import MeshConfig
+
+AXES = ("data", "y", "x")
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, y, x) mesh. Without a config, all local devices go on
+    ``data``."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if cfg is None:
+        cfg = MeshConfig(data=len(devices))
+    if cfg.n_devices > len(devices):
+        raise ValueError(
+            f"mesh needs {cfg.n_devices} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices[: cfg.n_devices]).reshape(cfg.shape)
+    return Mesh(arr, AXES)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def spatial_sharding(mesh: Mesh, batch_axis: bool = False) -> NamedSharding:
+    """(H, W)- or (B, H, W, C)-style spatial sharding over (y, x)."""
+    if batch_axis:
+        return NamedSharding(mesh, P("data", "y", "x", None))
+    return NamedSharding(mesh, P("y", "x"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

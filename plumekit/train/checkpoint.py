@@ -1,0 +1,67 @@
+"""Checkpoint/resume via orbax (SURVEY.md §5: the reference has no model
+checkpointing — its only resume facility is a processed-file log; plumekit
+adds real train-state checkpoints plus a compatible work log for the
+identify batch driver)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state))
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_")[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and not d.endswith(".tmp")
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, target, step: Optional[int] = None):
+    """Restore into the structure of ``target`` (an abstract or concrete
+    state). Returns the restored state, or ``target`` if no checkpoint."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_step(ckpt_dir)
+    if step is None:
+        return target
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
+class WorkLog:
+    """Atomic processed-item log with the reference's resume semantics
+    (``plume_identifier_rg.py:557-568``) minus its a+/read bug
+    (``plume_identifier_basic.py:357-359``, SURVEY.md bug #5)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def done(self, item: str) -> bool:
+        try:
+            with open(self.path) as f:
+                return item + "\n" in f.read()
+        except OSError:
+            return False
+
+    def mark(self, item: str) -> None:
+        with open(self.path, "a") as f:
+            f.write(item + "\n")
+            f.flush()
+            os.fsync(f.fileno())

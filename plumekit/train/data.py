@@ -1,0 +1,116 @@
+"""Training data: tiles from (synthetic) granules with plume masks.
+
+Fills the reference's promised-but-absent ``make_dataset`` /
+``build_features`` roles (``README.md:32-39``): granules → multi-band tiles
+(AOD + rasterised-fire channel) with labels from either ground truth
+(synthetic) or the classical identify pipeline acting as weak labeller
+(SURVEY.md §0 "consequence for the build").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from plumekit.config.train import DataConfig
+from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+from plumekit.io.granule import NULL_VALUE
+
+
+@dataclass
+class GranuleSample:
+    """One scene ready for tiling: channels (H, W, C) float32, label mask
+    (H, W) float32 in {0, 1}."""
+
+    channels: np.ndarray
+    mask: np.ndarray
+
+
+def fire_channel(shape, rows, cols, sigma: float = 2.0) -> np.ndarray:
+    """Rasterised fire detections smoothed to a density field — the second
+    input band (BASELINE.json config 2: "AOD + active-fire" tiles)."""
+    grid = np.zeros(shape, dtype=np.float32)
+    if len(rows):
+        grid[np.asarray(rows), np.asarray(cols)] = 1.0
+        grid = ndimage.gaussian_filter(grid, sigma).astype(np.float32)
+        m = grid.max()
+        if m > 0:
+            grid /= m
+    return grid
+
+
+def scene_to_sample(scene, normalize: bool = True) -> GranuleSample:
+    """Synthetic scene → (AOD, fire) channels + GT mask. Null pixels are
+    zeroed in the AOD channel (the model sees physical AOD ∈ [0, ~2])."""
+    aod = scene.granule.first_layer().copy()
+    aod[aod == NULL_VALUE] = 0.0
+    lat, lon = scene.granule.lat, scene.granule.lon
+    # fire pixels from the fire table (nearest grid cell by construction)
+    rows, cols = [], []
+    for _, f in scene.fires.iterrows():
+        d2 = (lat - f.latitude) ** 2 + (lon - f.longitude) ** 2
+        idx = np.unravel_index(np.argmin(d2), lat.shape)
+        rows.append(idx[0])
+        cols.append(idx[1])
+    fire = fire_channel(aod.shape, rows, cols)
+    channels = np.stack([aod, fire], axis=-1).astype(np.float32)
+    return GranuleSample(channels=channels,
+                         mask=scene.gt_mask.astype(np.float32))
+
+
+def make_synthetic_dataset(cfg: DataConfig, train: bool = True
+                           ) -> List[GranuleSample]:
+    n = cfg.n_train_granules if train else cfg.n_eval_granules
+    base = cfg.seed if train else cfg.seed + 10_000
+    samples = []
+    for i in range(n):
+        scene = make_scene(
+            SyntheticSceneConfig(
+                size=cfg.granule_size, n_plumes=4, seed=base + i,
+                background_level=0.15, background_noise=0.04,
+                plume_amplitude=(0.5, 0.9),
+                plume_sigma_major=(10.0, 22.0),
+                plume_sigma_minor=(2.0, 4.0),
+                null_blobs=1,
+            )
+        )
+        samples.append(scene_to_sample(scene))
+    return samples
+
+
+def tile_batches(
+    samples: List[GranuleSample],
+    tile: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    steps: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Infinite (or ``steps``-bounded) iterator of random tile batches:
+    (B, tile, tile, C) channels and (B, tile, tile, 1) masks. Sampling is
+    plume-biased: half the tiles are centred near mask pixels so the loss
+    sees positives (plumes are sparse in full granules)."""
+    count = 0
+    h, w = samples[0].channels.shape[:2]
+    while steps is None or count < steps:
+        xs = np.empty((batch_size, tile, tile, samples[0].channels.shape[-1]),
+                      np.float32)
+        ys = np.empty((batch_size, tile, tile, 1), np.float32)
+        for b in range(batch_size):
+            s = samples[rng.integers(len(samples))]
+            if rng.random() < 0.5 and s.mask.any():
+                pys, pxs = np.nonzero(s.mask)
+                k = rng.integers(len(pys))
+                cy = int(np.clip(pys[k] - tile // 2 + rng.integers(-8, 9),
+                                 0, h - tile))
+                cx = int(np.clip(pxs[k] - tile // 2 + rng.integers(-8, 9),
+                                 0, w - tile))
+            else:
+                cy = int(rng.integers(0, h - tile + 1))
+                cx = int(rng.integers(0, w - tile + 1))
+            xs[b] = s.channels[cy : cy + tile, cx : cx + tile]
+            ys[b, ..., 0] = s.mask[cy : cy + tile, cx : cx + tile]
+        yield xs, ys
+        count += 1

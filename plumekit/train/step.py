@@ -1,0 +1,92 @@
+"""The jitted train/eval steps with data-parallel sharding.
+
+TPU-first (SURVEY.md §2.2): no NCCL-style explicit collectives — the step is
+jit-compiled over a ``jax.sharding.Mesh`` with the batch sharded on the
+``data`` axis and parameters replicated; XLA/GSPMD inserts the grad
+all-reduce over ICI. BatchNorm statistics reduce over the *global* batch for
+the same reason (the batch mean is a cross-shard reduction under GSPMD).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plumekit.models.losses import dice_bce_loss, iou
+from plumekit.train.augment import augment_batch
+from plumekit.train.state import TrainState
+
+
+def make_train_step(dice_weight: float = 0.5, augment: bool = True,
+                    mesh: Optional[Mesh] = None):
+    """Returns ``step(state, xs, ys, rng) -> (state, metrics)``.
+
+    With a mesh, inputs are expected batch-sharded over ``data`` (see
+    :func:`shard_batch`); without one, it is a plain single-device jit.
+    """
+
+    def step(state: TrainState, xs, ys, rng):
+        if augment:
+            xs, ys = augment_batch(rng, xs, ys)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                logits, updates = state.apply_fn(
+                    variables, xs, train=True, mutable=["batch_stats"]
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                logits = state.apply_fn(variables, xs, train=True)
+                new_stats = None
+            loss = dice_bce_loss(logits, ys, dice_weight)
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        metrics = {
+            "loss": loss,
+            "iou": iou(jax.nn.sigmoid(logits) > 0.5, ys > 0.5),
+        }
+        return state, metrics
+
+    if mesh is not None:
+        data_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(replicated, data_sharding, data_sharding,
+                          replicated),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step():
+    def eval_step(state: TrainState, xs, ys):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits = state.apply_fn(variables, xs, train=False)
+        return {
+            "loss": dice_bce_loss(logits, ys),
+            "iou": iou(jax.nn.sigmoid(logits) > 0.5, ys > 0.5),
+        }
+
+    return jax.jit(eval_step)
+
+
+def shard_batch(mesh: Mesh, xs, ys):
+    """Place a host batch onto the mesh, sharded over the ``data`` axis."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.device_put(xs, sh), jax.device_put(ys, sh)

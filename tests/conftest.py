@@ -5,12 +5,26 @@ sharding (DP psum, halo exchange, stitching) is exercised without a pod
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session environment pins JAX_PLATFORMS to the tunneled TPU
+# ("axon"), but tests must run on 8 virtual CPU devices
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# the container's sitecustomize registers the tunneled-TPU ("axon") PJRT
+# backend programmatically, which wins over the env var — override in-process
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: identify-pipeline compiles take minutes on a
+# single-CPU host; cache them across pytest runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,149 @@
+"""Model + training tests: U-Net shapes/grads, losses, augmentation, train
+step convergence on a tiny problem, DP sharding on the 8-device CPU mesh
+(SURVEY.md §4 points 3-4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plumekit.config.train import (
+    DataConfig,
+    MeshConfig,
+    TrainConfig,
+    UNetConfig,
+)
+from plumekit.models import UNet, dice_bce_loss, dice_loss, bce_with_logits, iou
+from plumekit.train import (
+    augment_batch,
+    create_state,
+    make_eval_step,
+    make_train_step,
+    make_synthetic_dataset,
+    shard_batch,
+    tile_batches,
+    scene_to_sample,
+)
+from plumekit.parallel import make_mesh
+
+SMALL_UNET = UNetConfig(in_channels=2, base_features=8, depth=2,
+                        compute_dtype="float32")
+SMALL_TRAIN = TrainConfig(batch_size=4, tile_size=32, total_steps=30,
+                          warmup_steps=5, learning_rate=3e-3, augment=False)
+
+
+def test_unet_forward_shapes():
+    model = UNet(SMALL_UNET)
+    x = jnp.zeros((2, 64, 64, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, 64, 1)
+    assert y.dtype == jnp.float32
+
+
+def test_unet_bf16_compute_fp32_params():
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="bfloat16")
+    model = UNet(cfg)
+    x = jnp.zeros((1, 32, 32, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    leaves = jax.tree.leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    y = model.apply(variables, x, train=False)
+    assert y.dtype == jnp.float32  # head promotes to fp32
+
+
+def test_losses_basic_properties():
+    logits = jnp.full((2, 8, 8, 1), 10.0)
+    ones = jnp.ones((2, 8, 8, 1))
+    zeros = jnp.zeros((2, 8, 8, 1))
+    assert float(dice_loss(logits, ones)) < 0.01
+    assert float(bce_with_logits(logits, ones)) < 0.01
+    assert float(dice_bce_loss(logits, zeros)) > 1.0
+    assert float(iou(ones > 0, ones > 0)) == pytest.approx(1.0)
+    assert float(iou(zeros > 0.5, ones > 0.5)) < 1e-6
+
+
+def test_augment_preserves_pairing():
+    rng = jax.random.PRNGKey(3)
+    xs = jnp.asarray(np.random.default_rng(0).random((8, 16, 16, 2)),
+                     jnp.float32)
+    ys = xs[..., :1]  # labels mirror channel 0
+    ax, ay = augment_batch(rng, xs, ys)
+    np.testing.assert_allclose(np.asarray(ax[..., :1]), np.asarray(ay))
+    # content preserved per sample (same multiset of values)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ax).reshape(8, -1)), np.sort(np.asarray(xs).reshape(8, -1))
+    )
+
+
+def test_train_step_learns_single_device():
+    state = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    step = make_train_step(dice_weight=0.5, augment=False)
+    rng = np.random.default_rng(0)
+    # trivially learnable: mask = channel0 > 0.5
+    xs = rng.random((4, 32, 32, 2)).astype(np.float32)
+    ys = (xs[..., :1] > 0.5).astype(np.float32)
+    first = None
+    for i in range(30):
+        state, metrics = step(state, jnp.asarray(xs), jnp.asarray(ys),
+                              jax.random.PRNGKey(i))
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.7, (first, last)
+    assert float(metrics["iou"]) > 0.5
+
+
+def test_train_step_dp_mesh_matches_semantics():
+    mesh = make_mesh(MeshConfig(data=8))
+    state = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    step = make_train_step(dice_weight=0.5, augment=False, mesh=mesh)
+    rng = np.random.default_rng(0)
+    xs = rng.random((8, 32, 32, 2)).astype(np.float32)
+    ys = (xs[..., :1] > 0.5).astype(np.float32)
+    sx, sy = shard_batch(mesh, jnp.asarray(xs), jnp.asarray(ys))
+    state2, metrics = step(state, sx, sy, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params updated and replicated across devices
+    leaf = jax.tree.leaves(state2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_eval_step_and_data_pipeline():
+    data_cfg = DataConfig(granule_size=96, tile_size=32, n_train_granules=1,
+                          n_eval_granules=1)
+    samples = make_synthetic_dataset(data_cfg, train=True)
+    assert samples[0].channels.shape == (96, 96, 2)
+    assert set(np.unique(samples[0].mask)).issubset({0.0, 1.0})
+    batches = tile_batches(samples, 32, 4, np.random.default_rng(0), steps=3)
+    xs, ys = next(batches)
+    assert xs.shape == (4, 32, 32, 2) and ys.shape == (4, 32, 32, 1)
+    state = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    ev = make_eval_step()
+    metrics = ev(state, jnp.asarray(xs), jnp.asarray(ys))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from plumekit.train import save_checkpoint, restore_checkpoint, latest_step
+
+    state = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    save_checkpoint(str(tmp_path), state, 7)
+    assert latest_step(str(tmp_path)) == 7
+    zeroed = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(str(tmp_path), zeroed)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_worklog(tmp_path):
+    from plumekit.train import WorkLog
+
+    log = WorkLog(str(tmp_path / "log.txt"))
+    assert not log.done("granule_a")
+    log.mark("granule_a")
+    assert log.done("granule_a")
+    assert not log.done("granule")  # exact-line match, not substring
