@@ -26,6 +26,12 @@ REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "5"))
 def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
     from plumekit.infer import make_sliding_infer
@@ -50,13 +56,22 @@ def bench_tpu() -> float:
     image = jnp.asarray(
         rng.random((GRANULE, GRANULE, unet_cfg.in_channels), np.float32)
     )
-    probs, mask = infer(variables, image)        # compile + warm-up
-    jax.block_until_ready(probs)
+    # timing discipline for the tunneled TPU platform: per-dispatch latency
+    # is ~45 ms, block_until_ready does not synchronize, and identical
+    # dispatches get deduped — so all repeats run INSIDE one jit program,
+    # each iteration's input perturbed by the previous output (serialising
+    # the chain), and completion is forced by a scalar host readback.
+    def repeated(variables, image):
+        def body(_i, acc):
+            probs, _ = infer(variables, image + acc * 1e-12)
+            return probs.mean()
 
+        return lax.fori_loop(0, REPEATS, body, jnp.float32(0))
+
+    rep = jax.jit(repeated)
+    _ = float(rep(variables, image))             # compile + warm-up
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        probs, mask = infer(variables, image)
-    jax.block_until_ready(probs)
+    _ = float(rep(variables, image))             # host readback = sync
     dt = time.perf_counter() - t0
     return GRANULE * GRANULE * REPEATS / dt / 1e6
 
