@@ -1,0 +1,49 @@
+.PHONY: requirements data features train predict clean lint test bench help
+
+PYTHON_INTERPRETER = python
+ROOT ?= data
+
+## Install Python dependencies (reference Makefile:27-29)
+requirements:
+	$(PYTHON_INTERPRETER) -m pip install -e . --no-build-isolation
+
+## Generate dataset (the reference's `make data` ran the nonexistent
+## src/data/make_dataset.py, Makefile:32-33 — this one exists)
+data:
+	$(PYTHON_INTERPRETER) -m plumekit.cli make_dataset --root $(ROOT)
+
+## Run the classical identify pipeline (weak labeller)
+features:
+	$(PYTHON_INTERPRETER) -m plumekit.cli build_features --root $(ROOT)
+
+## Train the U-Net
+train:
+	$(PYTHON_INTERPRETER) -m plumekit.cli train_model --root $(ROOT)
+
+## Full-granule inference
+predict:
+	$(PYTHON_INTERPRETER) -m plumekit.cli predict_model --root $(ROOT)
+
+## Delete compiled python files (reference Makefile:36-38)
+clean:
+	find . -type f -name "*.py[co]" -delete
+	find . -type d -name "__pycache__" -exec rm -rf {} +
+
+## Lint (reference Makefile:41-42; flake8 config in setup.cfg)
+lint:
+	flake8 plumekit || true
+
+## Run the test suite
+test:
+	$(PYTHON_INTERPRETER) -m pytest tests/ -q
+
+## Run the benchmark (one JSON line)
+bench:
+	$(PYTHON_INTERPRETER) bench.py
+
+## Build the native library
+native:
+	$(PYTHON_INTERPRETER) plumekit/native/build.py --force
+
+help:
+	@grep -E '^##' -A1 Makefile | sed 's/^## //'

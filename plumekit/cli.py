@@ -99,10 +99,26 @@ def cmd_build_features(args) -> int:
             )
             aod_df.to_csv(os.path.join(aod_dir, base + "_aod.csv"),
                           index=False)
+            if args.plot and len(aod_df):
+                from plumekit.viz import plot_identify_bboxes
+
+                plot_identify_bboxes(
+                    granule.first_layer(), aod_df,
+                    os.path.join(paths.resolve("plot_dir"),
+                                 base + "_plot.png"),
+                )
         else:
             hull_df = gaussian_mod.identify_granule(
                 granule, fire_df, date, GaussianIdentifyConfig()
             )
+            if args.plot and len(hull_df):
+                from plumekit.viz import plot_identify_hulls
+
+                plot_identify_hulls(
+                    granule.first_layer(), hull_df,
+                    os.path.join(paths.resolve("plot_dir"),
+                                 base + "_plot.png"),
+                )
         hull_df.to_csv(os.path.join(hull_dir, base + "_extent.csv"),
                        index=False)
         log.mark(fname)
@@ -137,14 +153,12 @@ def cmd_train_model(args) -> int:
 def cmd_predict_model(args) -> int:
     """Sliding-window inference over granules → plume-probability NPZs."""
     import jax
-    import jax.numpy as jnp
 
     from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
-    from plumekit.infer import make_sliding_infer, pad_to_multiple
+    from plumekit.infer import make_sliding_infer
     from plumekit.io.granule import load_granule, NULL_VALUE
     from plumekit.models import UNet
     from plumekit.train.checkpoint import restore_checkpoint, latest_step
-    from plumekit.train.data import fire_channel
     from plumekit.train.state import create_state
 
     paths = PathsConfig(root=args.root)
@@ -170,22 +184,31 @@ def cmd_predict_model(args) -> int:
     out_dir = os.path.join(args.root, "processed", "predictions")
     os.makedirs(out_dir, exist_ok=True)
     maiac_dir = paths.resolve("maiac_dir")
-    for fname in sorted(os.listdir(maiac_dir)):
-        if not fname.endswith((".npz", ".h5", ".hdf")):
-            continue
-        granule = load_granule(os.path.join(maiac_dir, fname))
-        aod = granule.first_layer().copy()
-        aod[aod == NULL_VALUE] = 0.0
-        channels = np.stack(
-            [aod, fire_channel(aod.shape, [], [])], axis=-1
-        ).astype(np.float32)
-        padded, (h, w) = pad_to_multiple(channels, 2**unet_cfg.depth)
-        probs, mask = infer(variables, jnp.asarray(padded))
-        probs = np.asarray(probs)[:h, :w]
-        out = os.path.join(out_dir, os.path.splitext(fname)[0] + "_pred.npz")
+    granule_paths = [
+        os.path.join(maiac_dir, f)
+        for f in sorted(os.listdir(maiac_dir))
+        if f.endswith((".npz", ".h5", ".hdf"))
+    ]
+    # streaming pipeline (config 5): decode+stage granule i+1 while granule i
+    # runs on device
+    from plumekit.infer.streaming import stream_inference
+
+    for name, probs in stream_inference(
+        granule_paths, infer, variables, unet_cfg.depth
+    ):
+        out = os.path.join(out_dir, name + "_pred.npz")
         np.savez_compressed(out, probs=probs, mask=probs > 0.5)
         logger.info("%s: %.1f%% plume pixels", out,
                     100.0 * float((probs > 0.5).mean()))
+        if args.plot:
+            from plumekit.viz import plot_prediction
+
+            gp = next(p for p in granule_paths
+                      if os.path.splitext(os.path.basename(p))[0] == name)
+            aod = load_granule(gp).first_layer().copy()
+            aod[aod == NULL_VALUE] = 0.0
+            plot_prediction(aod, probs,
+                            os.path.join(out_dir, name + "_pred.png"))
     return 0
 
 
@@ -280,6 +303,8 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("build_features", help="batch identify → CSVs")
     _add_root(f)
     f.add_argument("--detector", choices=["rg", "gaussian"], default="rg")
+    f.add_argument("--plot", action="store_true",
+                   help="write annotated scene PNGs (reference main() plots)")
     f.set_defaults(fn=cmd_build_features)
 
     t = sub.add_parser("train_model", help="train the U-Net")
@@ -295,6 +320,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_root(pr)
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--tile", type=int, default=256)
+    pr.add_argument("--plot", action="store_true")
     pr.set_defaults(fn=cmd_predict_model)
 
     i = sub.add_parser("identify", help="identify plumes in one granule")

@@ -2,6 +2,8 @@
 
 from plumekit.infer.sliding import make_sliding_infer, pad_to_multiple, tile_grid
 from plumekit.infer.sharded import make_sharded_infer, choose_halo
+from plumekit.infer.streaming import stream_inference, granule_channel_stream
 
 __all__ = ["make_sliding_infer", "pad_to_multiple", "tile_grid",
-           "make_sharded_infer", "choose_halo"]
+           "make_sharded_infer", "choose_halo", "stream_inference",
+           "granule_channel_stream"]

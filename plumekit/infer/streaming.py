@@ -1,0 +1,70 @@
+"""Streaming multi-granule inference (BASELINE.json config 5): host decode
+pool → double-buffered HBM prefetch → batched device inference.
+
+The reference processed granules strictly serially (decode, then compute,
+one thread — ``plume_identifier_rg.py:537-576``). Here a background thread
+decodes and stages granule ``i+1`` onto the device while granule ``i`` is
+being inferred, so host IO hides behind device time
+(:func:`plumekit.io.prefetch.device_prefetch`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plumekit.io.granule import Granule, NULL_VALUE, load_granule
+from plumekit.io.prefetch import device_prefetch
+from plumekit.infer.sliding import pad_to_multiple
+from plumekit.train.data import fire_channel
+from plumekit.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def granule_channel_stream(
+    paths: Iterable[str],
+    depth: int,
+    fire_locator: Optional[Callable[[Granule], Tuple[list, list]]] = None,
+) -> Iterator[Tuple[str, np.ndarray, Tuple[int, int]]]:
+    """Decode granules to model-ready (H', W', 2) channel stacks (padded to
+    the U-Net divisibility), yielding (name, channels, original_shape)."""
+    for path in paths:
+        granule = load_granule(path)
+        aod = granule.first_layer().copy()
+        aod[aod == NULL_VALUE] = 0.0
+        rows, cols = fire_locator(granule) if fire_locator else ([], [])
+        channels = np.stack(
+            [aod, fire_channel(aod.shape, rows, cols)], axis=-1
+        ).astype(np.float32)
+        padded, hw = pad_to_multiple(channels, 2**depth)
+        yield granule.name, padded, hw
+
+
+def stream_inference(
+    paths: Iterable[str],
+    infer_fn: Callable,
+    variables,
+    depth: int,
+    buffer_size: int = 2,
+    fire_locator=None,
+) -> Iterator[Tuple[str, np.ndarray]]:
+    """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
+    stream with decode/transfer prefetched ``buffer_size`` granules ahead.
+    Yields (granule_name, probs cropped to the original shape)."""
+
+    def put(item):
+        name, channels, hw = item
+        return name, jax.device_put(jnp.asarray(channels)), hw
+
+    stream = device_prefetch(
+        granule_channel_stream(paths, depth, fire_locator),
+        buffer_size=buffer_size,
+        device_put=put,
+    )
+    for name, image, (h, w) in stream:
+        probs, _mask = infer_fn(variables, image)
+        yield name, np.asarray(probs)[:h, :w]

@@ -20,6 +20,24 @@ from plumekit.config.train import MeshConfig
 AXES = ("data", "y", "x")
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: join the jax.distributed cluster so one mesh
+    spans hosts (ICI inside a slice, DCN across; SURVEY.md §2.2 comm-backend
+    row). No-op when env provides no cluster (single host)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialised
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, y, x) mesh. Without a config, all local devices go on

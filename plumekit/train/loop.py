@@ -56,6 +56,11 @@ def train(
         state = jax.device_put(state, NamedSharding(mesh, P()))
 
     history: Dict[str, List[float]] = {"loss": [], "iou": [], "eval_iou": []}
+    from plumekit.utils import MetricsWriter
+
+    writer = MetricsWriter(
+        train_cfg.checkpoint_dir.rstrip("/") + "_metrics.csv"
+    ) if checkpoint else None
     t0 = time.perf_counter()
     px_per_step = train_cfg.batch_size * train_cfg.tile_size**2
     for step_i in range(train_cfg.total_steps):
@@ -74,6 +79,10 @@ def train(
             )
             history["loss"].append(float(metrics["loss"]))
             history["iou"].append(float(metrics["iou"]))
+            if writer is not None:
+                writer.write(step_i + 1, {"loss": metrics["loss"],
+                                          "iou": metrics["iou"],
+                                          "mpix_s": mpix_s})
             t0 = time.perf_counter()
         if checkpoint and (step_i + 1) % train_cfg.checkpoint_every == 0:
             save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1)

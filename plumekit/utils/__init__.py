@@ -6,6 +6,8 @@ stage timers with ``block_until_ready`` boundaries for honest device timing.
 """
 
 from plumekit.utils.logging import get_logger
-from plumekit.utils.timers import Timer, StageTimes
+from plumekit.utils.timers import Timer, StageTimes, profile_trace
+from plumekit.utils.metrics import MetricsWriter
 
-__all__ = ["get_logger", "Timer", "StageTimes"]
+__all__ = ["get_logger", "Timer", "StageTimes", "profile_trace",
+           "MetricsWriter"]

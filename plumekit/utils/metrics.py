@@ -1,0 +1,32 @@
+"""Structured per-step metrics (SURVEY.md §5: the reference logs breadcrumb
+strings only; plumekit writes machine-readable step metrics)."""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Optional
+
+
+class MetricsWriter:
+    """Append-only CSV metrics: one row per step, columns discovered from the
+    first write. Safe to re-open for resume (appends)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._fields: Optional[list] = None
+        if os.path.exists(path) and os.path.getsize(path):
+            with open(path) as f:
+                self._fields = next(csv.reader(f))
+
+    def write(self, step: int, metrics: Dict[str, float]) -> None:
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        new = self._fields is None
+        if new:
+            self._fields = list(row)
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
+            if new:
+                w.writeheader()
+            w.writerow(row)

@@ -19,6 +19,19 @@ def _sync(x):
     return x
 
 
+@contextmanager
+def profile_trace(log_dir: str):
+    """``jax.profiler`` trace scope (SURVEY.md §5 tracing row: the reference
+    has none; view with TensorBoard or xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 class Timer:
     """Context manager measuring wall seconds; ``timer.elapsed`` afterwards."""
 

@@ -1,0 +1,83 @@
+"""Viz artifacts, streaming inference, metrics writer."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from plumekit.config.train import InferConfig, UNetConfig
+from plumekit.infer import make_sliding_infer, stream_inference
+from plumekit.io.granule import Granule, save_granule
+from plumekit.models import UNet
+from plumekit.utils import MetricsWriter
+from plumekit.viz import (
+    plot_identify_bboxes,
+    plot_identify_hulls,
+    plot_prediction,
+    plot_training_history,
+)
+
+
+def test_viz_plots(tmp_path, rng):
+    aod = rng.random((64, 64)).astype(np.float32)
+    aod_df = pd.DataFrame(
+        [{"plume_min_row": 5, "plume_max_row": 20, "plume_min_col": 10,
+          "plume_max_col": 30}]
+    )
+    hull_df = pd.DataFrame(
+        {"id": [0.0] * 3, "hull_x": [5, 20, 10], "hull_y": [5, 10, 20]}
+    )
+    p1 = str(tmp_path / "bbox.png")
+    p2 = str(tmp_path / "hull.png")
+    p3 = str(tmp_path / "pred.png")
+    p4 = str(tmp_path / "hist.png")
+    plot_identify_bboxes(aod, aod_df, p1)
+    plot_identify_hulls(aod, hull_df, p2)
+    plot_prediction(aod, rng.random((64, 64)).astype(np.float32), p3)
+    plot_training_history({"loss": [1, 0.5], "iou": [0.1, 0.6],
+                           "eval_iou": [0.55]}, p4)
+    for p in (p1, p2, p3, p4):
+        assert os.path.getsize(p) > 1000
+
+
+def test_stream_inference(tmp_path, rng):
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="float32")
+    model = UNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 2)), train=False)
+    infer = make_sliding_infer(
+        model.apply, InferConfig(tile_size=64, overlap=8, batch_tiles=2),
+        channels=2,
+    )
+    paths = []
+    for i in range(3):
+        # 70x90: exercises pad_to_multiple + crop-back
+        aod = rng.random((70, 90)).astype(np.float32)
+        lat, lon = np.mgrid[0:70, 0:90].astype(np.float64)
+        g = Granule(layers={"t0": aod}, lat=lat, lon=lon, name=f"g{i}")
+        p = str(tmp_path / f"g{i}.npz")
+        save_granule(p, g)
+        paths.append(p)
+
+    results = list(stream_inference(paths, infer, variables, cfg.depth))
+    assert [n for n, _ in results] == ["g0", "g1", "g2"]
+    for _, probs in results:
+        assert probs.shape == (70, 90)
+        assert np.isfinite(probs).all()
+
+
+def test_metrics_writer(tmp_path):
+    path = str(tmp_path / "m.csv")
+    w = MetricsWriter(path)
+    w.write(1, {"loss": 1.0, "iou": 0.2})
+    w.write(2, {"loss": 0.5, "iou": 0.4})
+    # resume appends without duplicating header
+    w2 = MetricsWriter(path)
+    w2.write(3, {"loss": 0.3, "iou": 0.6})
+    df = pd.read_csv(path)
+    assert list(df.step) == [1, 2, 3]
+    assert df.loss.iloc[-1] == 0.3
