@@ -46,8 +46,20 @@ def bench_tpu() -> float:
         variables["batch_stats"] = state.batch_stats
 
     model = UNet(unet_cfg)
+    # Default is the XLA path: the Pallas kernel wins 2x per-level at deep
+    # channels but the current layer-by-layer integration loses it back to
+    # pad/crop traffic between kernels (fused double-conv kernel keeping the
+    # flattened layout across taps is the round-2 lever; see BASELINE.md).
+    if os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1":
+        # Pallas fused conv+BN+ReLU at the deep levels (see
+        # plumekit/models/pallas/fused_conv.py), XLA elsewhere
+        from plumekit.models.fused_forward import make_fused_apply
+
+        apply_fn = make_fused_apply(unet_cfg)
+    else:
+        apply_fn = model.apply
     infer = make_sliding_infer(
-        model.apply,
+        apply_fn,
         InferConfig(tile_size=TILE, overlap=OVERLAP, batch_tiles=16),
         channels=unet_cfg.in_channels,
     )
