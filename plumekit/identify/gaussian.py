@@ -76,6 +76,11 @@ def identify_layer(
         jnp.asarray(aod, jnp.float32), jnp.asarray(null_mask)
     )
 
+    if len(fire_rows) > cfg.max_fires:
+        logger.warning(
+            "raw fires (%d) exceed capacity (%d); truncating before "
+            "clustering", len(fire_rows), cfg.max_fires,
+        )
     f_rows, f_cols, f_valid = pad_fires(fire_rows, fire_cols, cfg.max_fires)
     cr, cc, cvalid = raster_cluster_centroids(
         aod.shape, jnp.asarray(f_rows), jnp.asarray(f_cols),
