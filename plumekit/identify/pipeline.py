@@ -215,10 +215,15 @@ def make_sweep_identifier(statics: SweepStatics):
 
         masks = aod_det[None, :, :] > thresholds[:, None, None]
         opened = binary_opening_cross(masks)
-        labels_all = jax.vmap(
-            lambda m: connected_components(m, connectivity=2)
-        )(opened)
-        size_maps = jax.vmap(component_sizes)(labels_all)  # (T, H*W+1)
+
+        # lax.map (sequential), NOT vmap: a batched while_loop would make
+        # every threshold pay the sweep count of the slowest one (low
+        # thresholds are percolation-regime and need ~10x the sweeps)
+        def label_one(m):
+            lbl = connected_components(m, connectivity=2)
+            return lbl, component_sizes(lbl)
+
+        labels_all, size_maps = jax.lax.map(label_one, opened)
 
         def window_label(lab_img, r, c):
             return label_window_nearest(lab_img, r, c, s.win_half)

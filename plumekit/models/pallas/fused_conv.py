@@ -77,6 +77,133 @@ def _kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, xwin, sem,
     out_ref[0] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
 
 
+def _double_kernel(x_hbm, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   out_ref, xwin, sem,
+                   *, tile_rows: int, w_pad: int, cmid: int, cout: int,
+                   slab: int, width: int, height: int):
+    """Both taps of a double-conv block in one program: conv1+bn+relu into a
+    VMEM-resident intermediate (with its own 1-px halo), then conv2+bn+relu
+    to the output rows — one HBM read and one HBM write for two convs."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    m_out = tile_rows * w_pad
+    m_mid = (tile_rows + 2) * w_pad + 8   # slack so conv2's +2 shift stays in range
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * m_out, slab)], xwin, sem
+    )
+    cp.start()
+    cp.wait()
+
+    acc1 = jnp.zeros((m_mid, cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            v = xwin[pl.ds(dy * w_pad + dx, m_mid), :]
+            acc1 = acc1 + jnp.dot(v, w1_ref[dy * 3 + dx],
+                                  preferred_element_type=jnp.float32)
+    inter = jnp.maximum(
+        acc1 * s1_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32),
+        0.0,
+    ).astype(xwin.dtype)
+
+    # SAME-conv chaining semantics: the second conv must see *zeros* outside
+    # the true image, but conv1 computed real values in the halo ring (from
+    # the zero-padded input). Zero the ring: intermediate position q maps to
+    # true col (q mod w_pad) - 1 and true row i*tile_rows + q//w_pad - 1.
+    q = lax.broadcasted_iota(jnp.int32, (m_mid, 1), 0)
+    col = q % w_pad - 1
+    row = i * tile_rows + q // w_pad - 1
+    in_img = (col >= 0) & (col < width) & (row >= 0) & (row < height)
+    inter = jnp.where(in_img, inter, 0)
+
+    acc2 = jnp.zeros((m_out, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            off = dy * w_pad + dx
+            acc2 = acc2 + jnp.dot(
+                inter[off : off + m_out],
+                w2_ref[dy * 3 + dx],
+                preferred_element_type=jnp.float32,
+            )
+    y = acc2 * s2_ref[:].astype(jnp.float32) + b2_ref[:].astype(jnp.float32)
+    out_ref[0] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "interpret", "force_pallas"))
+def fused_double_conv3x3_bn_relu(x, w1, scale1, shift1, w2, scale2, shift2,
+                                 tile_rows: int = 16, interpret: bool = False,
+                                 force_pallas: bool = False):
+    """One U-Net double-conv block — (conv3x3+BN+ReLU)×2 — as a single Pallas
+    program. Falls back to two XLA taps when channels don't fill the lanes.
+
+    x: (B, H, W, Cin); w1: (3,3,Cin,Cmid); w2: (3,3,Cmid,Cout).
+    """
+    b, h, wd, cin = x.shape
+    cmid = w1.shape[-1]
+    cout = w2.shape[-1]
+
+    tm = tile_rows
+    while tm > 1 and h % tm:
+        tm //= 2
+    eligible = (
+        cin % 128 == 0 and cmid % 128 == 0 and cout % 128 == 0
+        and h % tm == 0
+    )
+    if not (interpret or force_pallas or eligible):
+        y = conv3x3_bn_relu_xla(x, w1, scale1, shift1)
+        return conv3x3_bn_relu_xla(y, w2, scale2, shift2)
+
+    # halo 2 (two stacked 3x3 convs); right pad so W_pad is a sublane
+    # multiple; bottom pad covers the slab over-read
+    w_pad = ((wd + 4 + 7) // 8) * 8
+    slab = (tm + 4) * w_pad + 16
+    xp = jnp.pad(x, ((0, 0), (2, 3), (2, w_pad - wd - 2), (0, 0)))
+    xflat = xp.reshape(b, (h + 5) * w_pad, cin)
+
+    kern = partial(_double_kernel, tile_rows=tm, w_pad=w_pad, cmid=cmid,
+                   cout=cout, slab=slab, width=wd, height=h)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h // tm),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cin, cmid), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cmid, cout), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm * w_pad, cout), lambda bi, i: (bi, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * w_pad, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((slab, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w_pad * 9 * (cin * cmid + cmid * cout),
+            bytes_accessed=(
+                b * h * w_pad * (cin + cout) * x.dtype.itemsize
+                + 9 * (cin * cmid + cmid * cout) * w1.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(xflat, w1.reshape(9, cin, cmid), scale1.reshape(1, cmid),
+      shift1.reshape(1, cmid), w2.reshape(9, cmid, cout),
+      scale2.reshape(1, cout), shift2.reshape(1, cout))
+    return out.reshape(b, h, w_pad, cout)[:, :, :wd, :]
+
+
 @partial(jax.jit, static_argnames=("tile_rows", "interpret", "force_pallas"))
 def fused_conv3x3_bn_relu(x, w, scale, shift, tile_rows: int = 16,
                           interpret: bool = False,

@@ -80,6 +80,29 @@ def test_fused_conv_odd_height_tiles_down(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape,cm,co,tm", [
+    ((1, 16, 24, 4), 8, 8, 8),
+    ((2, 32, 40, 6), 12, 10, 16),
+    ((1, 10, 16, 4), 8, 4, 8),     # odd H -> tile shrink
+])
+def test_fused_double_conv_matches_chained_xla(rng, shape, cm, co, tm):
+    from plumekit.models.pallas.fused_conv import fused_double_conv3x3_bn_relu
+
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, shape[-1], cm)).astype(np.float32)
+                     * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, cm, co)).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.uniform(0.5, 2, cm).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=cm).astype(np.float32) * 0.1)
+    s2 = jnp.asarray(rng.uniform(0.5, 2, co).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=co).astype(np.float32) * 0.1)
+    got = fused_double_conv3x3_bn_relu(x, w1, s1, b1, w2, s2, b2,
+                                       tile_rows=tm, interpret=True)
+    ref = conv3x3_bn_relu_xla(conv3x3_bn_relu_xla(x, w1, s1, b1), w2, s2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_conv_fallback_dispatch(rng):
     # shallow channels on the compiled path dispatch to the XLA fallback —
     # results must match the oracle bit-for-bit (it IS the oracle)
