@@ -18,8 +18,12 @@ import time
 import numpy as np
 
 GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "1024"))
-TILE = 256
-OVERLAP = 32
+# tile 288 / overlap 32 tiles a 1024² granule as an exact 4x4 grid: one full
+# 16-tile batch, 1.27x overlap redundancy (vs 1.56x and 28% batch padding
+# for 256/32)
+TILE = int(os.environ.get("PLUMEKIT_BENCH_TILE", "288"))
+OVERLAP = int(os.environ.get("PLUMEKIT_BENCH_OVERLAP", "32"))
+BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "16"))
 REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "5"))
 
 
@@ -60,7 +64,7 @@ def bench_tpu() -> float:
         apply_fn = model.apply
     infer = make_sliding_infer(
         apply_fn,
-        InferConfig(tile_size=TILE, overlap=OVERLAP, batch_tiles=16),
+        InferConfig(tile_size=TILE, overlap=OVERLAP, batch_tiles=BATCH_TILES),
         channels=unet_cfg.in_channels,
     )
 
