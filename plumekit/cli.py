@@ -90,7 +90,12 @@ def cmd_build_features(args) -> int:
             logger.info("%s already processed, continuing...", fname)
             continue
         granule = load_granule(os.path.join(maiac_dir, fname))
-        date = fire_df.date_time.iloc[0]
+        from plumekit.io.dates import granule_date
+
+        # MAIAC names carry the acquisition date (reference
+        # plume_identifier_rg.py:574); synthetic granules fall back to the
+        # fire table's date
+        date = granule_date(fname, default=fire_df.date_time.iloc[0])
         base = os.path.splitext(fname)[0]
         if args.detector == "rg":
             aod_df, hull_df, _ = rg_mod.identify(

@@ -81,6 +81,49 @@ def make_synthetic_dataset(cfg: DataConfig, train: bool = True
     return samples
 
 
+def make_weak_label_dataset(
+    cfg: DataConfig,
+    train: bool = True,
+    identify_cfg=None,
+) -> List[GranuleSample]:
+    """The reference's actual data story (SURVEY.md §0): the classical
+    identify pipeline is the *weak labeller* — its accepted plume masks
+    become the U-Net's training targets. Generates synthetic granules, runs
+    the rg detector on each, and labels tiles with the union of accepted
+    plume masks."""
+    from plumekit.config.identify import RGIdentifyConfig
+    from plumekit.identify import rg as rg_mod
+
+    identify_cfg = identify_cfg or RGIdentifyConfig(max_fires=32)
+    n = cfg.n_train_granules if train else cfg.n_eval_granules
+    base = cfg.seed if train else cfg.seed + 10_000
+    samples = []
+    for i in range(n):
+        scene = make_scene(
+            SyntheticSceneConfig(
+                # 3 plumes per 256^2: denser scenes merge plumes past the
+                # rg area gate and the labeller accepts nothing
+                size=cfg.granule_size, n_plumes=3, seed=base + i,
+                background_level=0.2, background_noise=0.05,
+                plume_amplitude=(0.6, 0.9),
+                plume_sigma_major=(9.0, 16.0),
+                plume_sigma_minor=(1.8, 2.8),
+                fires_per_plume=(5, 8),
+            )
+        )
+        g = scene.granule
+        date = scene.fires.date_time.iloc[0]
+        _, _, out = rg_mod.identify(
+            g.first_layer(), g.lat, g.lon, date, scene.fires, identify_cfg
+        )
+        weak = np.zeros(g.shape, np.float32)
+        for f in np.nonzero(out["accepted"])[0]:
+            weak[out["mask"][f]] = 1.0
+        sample = scene_to_sample(scene)
+        samples.append(GranuleSample(channels=sample.channels, mask=weak))
+    return samples
+
+
 def tile_batches(
     samples: List[GranuleSample],
     tile: int,
