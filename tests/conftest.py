@@ -22,8 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: identify-pipeline compiles take minutes on a
 # single-CPU host; cache them across pytest runs
+# separate cache from TPU runs: the tunnel's remote compiler writes AOT
+# entries for a different host CPU (feature-mismatch SIGILL risk if shared)
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
