@@ -150,6 +150,7 @@ def cmd_train_model(args) -> int:
         ),
         data_cfg=DataConfig(granule_size=args.granule_size),
         mesh_cfg=mesh,
+        weak_labels=args.weak_labels,
     )
     logger.info("final eval IoU %.3f", history["eval_iou"][-1])
     return 0
@@ -180,7 +181,13 @@ def cmd_predict_model(args) -> int:
                        "untrained weights", ckpt_dir)
 
     model = UNet(unet_cfg)
-    infer = make_sliding_infer(model.apply, InferConfig(tile_size=args.tile),
+    if args.fused:
+        from plumekit.models.fused_forward import make_fused_apply
+
+        apply_fn = make_fused_apply(unet_cfg)
+    else:
+        apply_fn = model.apply
+    infer = make_sliding_infer(apply_fn, InferConfig(tile_size=args.tile),
                                channels=unet_cfg.in_channels)
     variables = {"params": state.params}
     if state.batch_stats is not None:
@@ -319,6 +326,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tile", type=int, default=256)
     t.add_argument("--granule-size", type=int, default=512)
     t.add_argument("--data-parallel", type=int, default=1)
+    t.add_argument("--weak-labels", action="store_true",
+                   help="label granules with the classical identify pipeline "
+                        "instead of synthetic ground truth")
     t.set_defaults(fn=cmd_train_model)
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")
@@ -326,6 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--tile", type=int, default=256)
     pr.add_argument("--plot", action="store_true")
+    pr.add_argument("--fused", action="store_true",
+                    help="Pallas fused conv+BN+ReLU forward (deep levels)")
     pr.set_defaults(fn=cmd_predict_model)
 
     i = sub.add_parser("identify", help="identify plumes in one granule")

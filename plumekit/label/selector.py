@@ -51,12 +51,12 @@ def remove_duplicated_plumes(plume_df: pd.DataFrame) -> pd.DataFrame:
     return pd.merge(plume_df, non_dup, on=["id", "datetime"], how="inner")
 
 
-def subset_plume(aod: np.ndarray, plume_df: pd.DataFrame,
-                 compat_asymmetric_shift: bool = True):
+def subset_plume(aod: np.ndarray, plume_df: pd.DataFrame):
     """Crop the AOD to the hull bbox + buffer, shifting hull coords into crop
-    space (``plume_selector.py:53-85``). The committed reference only shifts
-    coordinates when the buffer isn't clamped at the 0 edge (bug #12);
-    ``compat_asymmetric_shift=False`` shifts consistently instead."""
+    space (``plume_selector.py:53-85``). When the buffer clamps at the 0
+    edge the crop starts at 0, so leaving the coordinates unshifted is
+    correct — the reference's "asymmetric" branch (SURVEY.md quirk #12) only
+    asymmetrises the *buffer margin*, not the coordinates; reproduced."""
     min_x = plume_df.hull_x.min()
     max_x = plume_df.hull_x.max()
     min_y = plume_df.hull_y.min()
@@ -65,8 +65,6 @@ def subset_plume(aod: np.ndarray, plume_df: pd.DataFrame,
     hull_y = plume_df.hull_y.values.copy()
 
     if min_x - BUFFER_PX < 0:
-        if not compat_asymmetric_shift:
-            hull_x = hull_x - 0  # crop starts at 0; coords already aligned
         min_x = 0
     else:
         hull_x = hull_x - min_x + BUFFER_PX

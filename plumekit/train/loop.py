@@ -28,9 +28,13 @@ def train(
     data_cfg: DataConfig = DataConfig(),
     mesh_cfg: Optional[MeshConfig] = None,
     checkpoint: bool = True,
+    weak_labels: bool = False,
 ) -> Dict[str, List[float]]:
     """Run the supervised loop; returns metric history. With a mesh config,
-    the batch shards over ``data`` across devices (config 4)."""
+    the batch shards over ``data`` across devices (config 4).
+    ``weak_labels`` trains on masks produced by the classical identify
+    pipeline instead of synthetic ground truth (the reference's data story).
+    """
     mesh = make_mesh(mesh_cfg) if mesh_cfg and mesh_cfg.n_devices > 1 else None
 
     rng = jax.random.PRNGKey(train_cfg.seed)
@@ -40,8 +44,14 @@ def train(
     step_fn = make_train_step(train_cfg.dice_weight, train_cfg.augment, mesh)
     eval_fn = make_eval_step()
 
-    train_set = make_synthetic_dataset(data_cfg, train=True)
-    eval_set = make_synthetic_dataset(data_cfg, train=False)
+    if weak_labels:
+        from plumekit.train.data import make_weak_label_dataset
+
+        train_set = make_weak_label_dataset(data_cfg, train=True)
+        eval_set = make_weak_label_dataset(data_cfg, train=False)
+    else:
+        train_set = make_synthetic_dataset(data_cfg, train=True)
+        eval_set = make_synthetic_dataset(data_cfg, train=False)
     np_rng = np.random.default_rng(train_cfg.seed)
     batches = tile_batches(train_set, train_cfg.tile_size,
                            train_cfg.batch_size, np_rng)
