@@ -53,8 +53,16 @@ def train(
         train_set = make_synthetic_dataset(data_cfg, train=True)
         eval_set = make_synthetic_dataset(data_cfg, train=False)
     np_rng = np.random.default_rng(train_cfg.seed)
-    batches = tile_batches(train_set, train_cfg.tile_size,
-                           train_cfg.batch_size, np_rng)
+    from plumekit.io.prefetch import device_prefetch
+
+    # stage upcoming batches onto the device while the current step runs
+    # (config 5 double buffering; the reference trains nothing and decodes
+    # serially)
+    batches = device_prefetch(
+        tile_batches(train_set, train_cfg.tile_size, train_cfg.batch_size,
+                     np_rng),
+        buffer_size=2,
+    )
     eval_batches = list(
         tile_batches(eval_set, train_cfg.tile_size, train_cfg.batch_size,
                      np.random.default_rng(1), steps=4)

@@ -141,9 +141,11 @@ GAUSS_CFG = GaussianIdentifyConfig(max_fires=16)
 
 
 def test_gaussian_identify_granule():
-    # >= 20 locatable fires (min_fires_per_scene gate) with some nulls
+    # >= 20 locatable fires (min_fires_per_scene gate), some nulls, and TWO
+    # orbit layers (the gaussian main loops every layer,
+    # plume_identifier_gaussian_profile.py:608)
     sc = SyntheticSceneConfig(
-        seed=31, size=256, n_plumes=3, background_level=0.2,
+        seed=31, size=256, n_plumes=3, n_layers=2, background_level=0.2,
         background_noise=0.05, plume_amplitude=(0.6, 0.8),
         plume_sigma_major=(9.0, 14.0), plume_sigma_minor=(1.8, 2.6),
         fires_per_plume=(7, 9), extra_fires=6, null_blobs=2,
