@@ -25,7 +25,7 @@ import numpy as np
 from plumekit.config.train import UNetConfig
 from plumekit.models.pallas.fused_conv import (
     fold_batchnorm,
-    fused_conv3x3_bn_relu,
+    fused_double_conv3x3_bn_relu,
 )
 
 
@@ -34,18 +34,23 @@ def _tpu_backend() -> bool:
 
 
 def _double_conv(x, params, stats, *, interpret: bool):
+    folded = []
     for j in (0, 1):
-        w = params[f"Conv_{j}"]["kernel"]
         bn_p = params[f"_Norm_{j}"]["BatchNorm_0"]
         bn_s = stats[f"_Norm_{j}"]["BatchNorm_0"]
         scale, shift = fold_batchnorm(
             bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]
         )
-        x = fused_conv3x3_bn_relu(
-            x, w.astype(x.dtype), scale.astype(x.dtype),
-            shift.astype(x.dtype), interpret=interpret,
+        folded.append(
+            (params[f"Conv_{j}"]["kernel"].astype(x.dtype),
+             scale.astype(x.dtype), shift.astype(x.dtype))
         )
-    return x
+    (w1, s1, b1), (w2, s2, b2) = folded
+    # one Pallas program per block (one HBM round-trip for both taps);
+    # auto-falls back to chained XLA taps at shallow channel counts
+    return fused_double_conv3x3_bn_relu(
+        x, w1, s1, b1, w2, s2, b2, interpret=interpret
+    )
 
 
 def _max_pool2(x):
