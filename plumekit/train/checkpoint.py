@@ -15,6 +15,8 @@ def save_checkpoint(ckpt_dir: str, state, step: int) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    if os.path.exists(path):
+        return  # idempotent re-save (resumed run hitting its own checkpoint)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state))
 

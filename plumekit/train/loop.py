@@ -41,6 +41,20 @@ def train(
     rng, init_rng = jax.random.split(rng)
     state = create_state(init_rng, unet_cfg, train_cfg,
                          axis_name=None)
+
+    # checkpoint resume with deterministic data order (SURVEY.md §5): the
+    # batch stream is reseeded from (seed, start_step) so a resumed run sees
+    # the same remaining schedule every time
+    start_step = 0
+    if checkpoint:
+        from plumekit.train.checkpoint import latest_step, restore_checkpoint
+
+        last = latest_step(train_cfg.checkpoint_dir)
+        if last is not None and last <= train_cfg.total_steps:
+            state = restore_checkpoint(train_cfg.checkpoint_dir, state, last)
+            start_step = last
+            logger.info("resumed from checkpoint step %d", last)
+
     step_fn = make_train_step(train_cfg.dice_weight, train_cfg.augment, mesh)
     eval_fn = make_eval_step()
 
@@ -52,7 +66,7 @@ def train(
     else:
         train_set = make_synthetic_dataset(data_cfg, train=True)
         eval_set = make_synthetic_dataset(data_cfg, train=False)
-    np_rng = np.random.default_rng(train_cfg.seed)
+    np_rng = np.random.default_rng((train_cfg.seed, start_step))
     from plumekit.io.prefetch import device_prefetch
 
     # stage upcoming batches onto the device while the current step runs
@@ -81,7 +95,7 @@ def train(
     ) if checkpoint else None
     t0 = time.perf_counter()
     px_per_step = train_cfg.batch_size * train_cfg.tile_size**2
-    for step_i in range(train_cfg.total_steps):
+    for step_i in range(start_step, train_cfg.total_steps):
         xs, ys = next(batches)
         if mesh is not None:
             xs, ys = shard_batch(mesh, xs, ys)
