@@ -62,7 +62,7 @@ def test_rg_parity_against_oracle():
 
     total = agree = 0
     accepted_pairs = 0
-    for seed in (21, 22, 23, 24, 25):
+    for seed in (21, 22, 23, 24, 25, 26, 27, 28):
         scene, aod, rows, cols = _scene_fires(seed)
         oracle, extents = oracle_identify(aod, rows, cols, RG_CFG)
 
