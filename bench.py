@@ -144,12 +144,12 @@ def bench_torch_cpu() -> float:
     x = torch.rand(1, 2, TILE, TILE)
     with torch.no_grad():
         model(x)  # warm-up
-        n = 3
-        t0 = time.perf_counter()
-        for _ in range(n):
+        best = float("inf")
+        for _ in range(3):  # best-of-3: robust to transient host load
+            t0 = time.perf_counter()
             model(x)
-        dt = time.perf_counter() - t0
-    return TILE * TILE * n / dt / 1e6
+            best = min(best, time.perf_counter() - t0)
+    return TILE * TILE / best / 1e6
 
 
 def main() -> int:
