@@ -12,8 +12,9 @@ TPU-native re-expression: the entire threshold sweep is one jitted XLA
 program —
 
 * masks for all T thresholds as a (T, H, W) tensor;
-* morphology + CCL vmapped over T (CCL is segmented-scan label propagation,
-  :mod:`plumekit.ops.ccl`);
+* morphology broadcast over T; CCL via ``lax.map`` per threshold so each
+  pays only its own sweep count (CCL is pointer-jumping segmented-scan label
+  propagation, :mod:`plumekit.ops.ccl`);
 * component sizes via one ``segment_sum`` per threshold;
 * per-(threshold, fire) nearest-label window lookups vmapped over both axes;
 * the threshold-index rule and the acceptance gates (area bounds, AOD max,

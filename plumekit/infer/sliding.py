@@ -59,21 +59,32 @@ def make_sliding_infer(
     @partial(jax.jit, static_argnames=())
     def infer(variables, image):
         h, w = image.shape[0], image.shape[1]
-        ys = jnp.asarray(tile_grid(h, tile, stride))
-        xs = jnp.asarray(tile_grid(w, tile, stride))
-        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-        origins = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
-        n = origins.shape[0]
+        ys_np = tile_grid(h, tile, stride)
+        xs_np = tile_grid(w, tile, stride)
+        yy, xx = np.meshgrid(ys_np, xs_np, indexing="ij")
+        origins_np = np.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
+        n = origins_np.shape[0]
         pad = (-n) % cfg.batch_tiles
-        origins = jnp.concatenate(
-            [origins, jnp.tile(origins[-1:], (pad, 1))], axis=0
-        ).reshape(-1, cfg.batch_tiles, 2)
+        origins_np = np.concatenate(
+            [origins_np, np.tile(origins_np[-1:], (pad, 1))], axis=0
+        )
 
-        taper = jnp.asarray(_taper(tile, cfg.overlap))
-        weight2d = taper[:, None] * taper[None, :]
+        taper_np = _taper(tile, cfg.overlap)
+        weight2d_np = taper_np[:, None] * taper_np[None, :]
+        weight2d = jnp.asarray(weight2d_np)
 
-        def run_batch(canvases, batch_origins):
-            prob_canvas, weight_canvas = canvases
+        # the weight canvas depends only on the (static) tile grid — build it
+        # at trace time; runtime accumulates the probability canvas only.
+        # Padded duplicate tiles deliberately count again: they also add
+        # their probs again, so the ratio is unchanged.
+        weight_canvas_np = np.zeros((h, w), np.float32)
+        for oy, ox in origins_np:
+            weight_canvas_np[oy : oy + tile, ox : ox + tile] += weight2d_np
+        inv_weight = jnp.asarray(1.0 / np.maximum(weight_canvas_np, 1e-8))
+
+        origins = jnp.asarray(origins_np).reshape(-1, cfg.batch_tiles, 2)
+
+        def run_batch(prob_canvas, batch_origins):
             tiles = jax.vmap(
                 lambda o: lax.dynamic_slice(
                     image, (o[0], o[1], 0), (tile, tile, channels)
@@ -82,28 +93,22 @@ def make_sliding_infer(
             logits = apply_fn(variables, tiles, train=False)
             probs = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
 
-            def add_one(canvases, args):
-                prob_c, weight_c = canvases
+            def add_one(prob_c, args):
                 o, p = args
-                cur_p = lax.dynamic_slice(prob_c, (o[0], o[1]), (tile, tile))
-                cur_w = lax.dynamic_slice(weight_c, (o[0], o[1]), (tile, tile))
-                prob_c = lax.dynamic_update_slice(
-                    prob_c, cur_p + p * weight2d, (o[0], o[1])
-                )
-                weight_c = lax.dynamic_update_slice(
-                    weight_c, cur_w + weight2d, (o[0], o[1])
-                )
-                return (prob_c, weight_c), None
+                cur = lax.dynamic_slice(prob_c, (o[0], o[1]), (tile, tile))
+                return lax.dynamic_update_slice(
+                    prob_c, cur + p * weight2d, (o[0], o[1])
+                ), None
 
             # sequential adds inside the batch: overlapping tiles of the same
             # batch must not race on canvas regions
-            canvases, _ = lax.scan(add_one, (prob_canvas, weight_canvas),
-                                   (batch_origins, probs))
-            return canvases, None
+            prob_canvas, _ = lax.scan(add_one, prob_canvas,
+                                      (batch_origins, probs))
+            return prob_canvas, None
 
-        init = (jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32))
-        (prob_canvas, weight_canvas), _ = lax.scan(run_batch, init, origins)
-        probs = prob_canvas / jnp.maximum(weight_canvas, 1e-8)
+        prob_canvas, _ = lax.scan(run_batch, jnp.zeros((h, w), jnp.float32),
+                                  origins)
+        probs = prob_canvas * inv_weight
         return probs, probs > cfg.threshold
 
     return infer
