@@ -47,3 +47,11 @@ native:
 
 help:
 	@grep -E '^##' -A1 Makefile | sed 's/^## //'
+
+## Sync data to/from object storage (reference Makefile:45-58 used aws s3)
+sync_data_to_s3:
+	@command -v aws >/dev/null && aws s3 sync $(ROOT) s3://$(BUCKET)/data || \
+	 echo "awscli not installed (zero-egress environment); skipping"
+sync_data_from_s3:
+	@command -v aws >/dev/null && aws s3 sync s3://$(BUCKET)/data $(ROOT) || \
+	 echo "awscli not installed (zero-egress environment); skipping"
