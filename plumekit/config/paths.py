@@ -9,7 +9,7 @@ user of the reference finds the same structure.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

@@ -13,7 +13,7 @@ extraction; only hulls are emitted (no aod stats frame).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -24,7 +24,7 @@ from plumekit.identify.locate import locate_fires_in_image, pad_fires
 from plumekit.identify.pipeline import SweepStatics, cached_sweep_identifier
 from plumekit.identify.rg import build_scene_dataframes
 from plumekit.io.fires import subset_fires_to_image
-from plumekit.io.granule import Granule, NULL_VALUE
+from plumekit.io.granule import Granule
 from plumekit.ops.cluster import raster_cluster_centroids
 from plumekit.ops.inpaint import nearest_fill
 from plumekit.utils import get_logger

@@ -9,7 +9,7 @@ index and acceptance gates as one jitted program
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,6 @@ raster analogue of halo-exchanged context parallelism.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

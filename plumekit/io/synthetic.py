@@ -11,7 +11,7 @@ background blobs and null holes that must be *rejected*.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import numpy as np

@@ -15,9 +15,6 @@ gradient-style conv).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ multiples of 8/128 where the MXU wants them. Norm is configurable: BatchNorm
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

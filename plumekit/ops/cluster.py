@@ -16,7 +16,6 @@ Two clustering modes exist in the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np

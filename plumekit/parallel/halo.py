@@ -14,9 +14,6 @@ conv/morphology semantics at the true image border.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -9,11 +9,9 @@ the same reason (the batch mean is a cross-shard reduction under GSPMD).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from plumekit.models.losses import dice_bce_loss, iou
