@@ -17,14 +17,14 @@ import time
 
 import numpy as np
 
-GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "1024"))
-# tile 288 / overlap 32 tiles a 1024² granule as an exact 4x4 grid: one full
-# 16-tile batch, 1.27x overlap redundancy (vs 1.56x and 28% batch padding
-# for 256/32)
+# 2048² granule: fixed per-call costs amortize over 4x the pixels of 1024²
+# (75.8 vs 57-62 MPix/s measured); tile 288 / overlap 32 keeps batches full
+# (1.27x overlap redundancy, no batch padding at 1024; 8x8 grid at 2048)
+GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "2048"))
 TILE = int(os.environ.get("PLUMEKIT_BENCH_TILE", "288"))
 OVERLAP = int(os.environ.get("PLUMEKIT_BENCH_OVERLAP", "32"))
 BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "16"))
-REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "5"))
+REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
 
 
 def bench_tpu() -> float:
