@@ -147,3 +147,33 @@ def test_worklog(tmp_path):
     log.mark("granule_a")
     assert log.done("granule_a")
     assert not log.done("granule")  # exact-line match, not substring
+
+
+def test_dp_step_matches_single_device():
+    """GSPMD data-parallel step must compute the same update as a single
+    device given the same global batch (augment off, fp32)."""
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.random((8, 32, 32, 2)).astype(np.float32))
+    ys = jnp.asarray((np.asarray(xs)[..., :1] > 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    state1 = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    step1 = make_train_step(dice_weight=0.5, augment=False)
+    state1, m1 = step1(state1, xs, ys, key)
+
+    mesh = make_mesh(MeshConfig(data=8))
+    state8 = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    step8 = make_train_step(dice_weight=0.5, augment=False, mesh=mesh)
+    sx, sy = shard_batch(mesh, xs, ys)
+    state8 = jax.device_put(
+        state8, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    state8, m8 = step8(state8, sx, sy, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    a = jax.tree.leaves(state1.params)
+    b = jax.tree.leaves(state8.params)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-6)

@@ -148,3 +148,24 @@ def test_ccl_host_oracle_agrees(rng):
     host = connected_components_host(m, 2)
     dev = np.asarray(connected_components(jnp.asarray(m), 2))
     _partitions_equal(dev, host)
+
+
+@pytest.mark.parametrize("case", ["ring", "checker", "row", "col", "cross"])
+def test_ccl_pathological_shapes(case):
+    m = np.zeros((40, 40), dtype=bool)
+    if case == "ring":
+        m[5:35, 5:35] = True
+        m[10:30, 10:30] = False
+    elif case == "checker":
+        m[::2, ::2] = True
+        m[1::2, 1::2] = True  # 8-connectivity joins everything
+    elif case == "row":
+        m[20, 1:39] = True
+    elif case == "col":
+        m[1:39, 20] = True
+    elif case == "cross":
+        m[20, :] = True
+        m[:, 20] = True
+    ours = np.asarray(connected_components(jnp.asarray(m), 2))
+    ref, _ = ndimage.label(m, structure=np.ones((3, 3)))
+    _partitions_equal(ours, ref)
