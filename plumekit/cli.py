@@ -66,7 +66,10 @@ def cmd_build_features(args) -> int:
     ``plume_identifier_{rg,gaussian}.main()`` loop (resumable via WorkLog)."""
     import pandas as pd
 
-    from plumekit.config.identify import GaussianIdentifyConfig, RGIdentifyConfig
+    from plumekit.config.identify import (BasicIdentifyConfig,
+                                          GaussianIdentifyConfig,
+                                          RGIdentifyConfig)
+    from plumekit.identify import basic as basic_mod
     from plumekit.identify import rg as rg_mod
     from plumekit.identify import gaussian as gaussian_mod
     from plumekit.io.fires import load_fire_csv
@@ -109,6 +112,32 @@ def cmd_build_features(args) -> int:
 
                 plot_identify_bboxes(
                     granule.first_layer(), aod_df,
+                    os.path.join(paths.resolve("plot_dir"),
+                                 base + "_plot.png"),
+                )
+        elif args.detector == "basic":
+            import pandas as _pd
+
+            aod = granule.first_layer().copy()
+            aod[aod < 0] = 0.0
+            plume_dict, _img = basic_mod.identify(
+                aod, granule.lat, granule.lon, date, fire_df,
+                BasicIdentifyConfig(),
+            )
+            # the reference's basic main computed CSV paths but never wrote
+            # them (SURVEY.md bug #10) — we write the bboxes
+            hull_df = _pd.DataFrame(
+                [{"id": pid, "plume_min_row": bb["min_r"],
+                  "plume_max_row": bb["max_r"],
+                  "plume_min_col": bb["min_c"],
+                  "plume_max_col": bb["max_c"]}
+                 for pid, bb in plume_dict.items()]
+            )
+            if args.plot and len(hull_df):
+                from plumekit.viz import plot_identify_bboxes
+
+                plot_identify_bboxes(
+                    aod, hull_df,
                     os.path.join(paths.resolve("plot_dir"),
                                  base + "_plot.png"),
                 )
@@ -314,7 +343,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     f = sub.add_parser("build_features", help="batch identify → CSVs")
     _add_root(f)
-    f.add_argument("--detector", choices=["rg", "gaussian"], default="rg")
+    f.add_argument("--detector", choices=["rg", "gaussian", "basic"],
+                   default="rg")
     f.add_argument("--plot", action="store_true",
                    help="write annotated scene PNGs (reference main() plots)")
     f.set_defaults(fn=cmd_build_features)
