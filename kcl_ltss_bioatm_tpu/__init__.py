@@ -11,7 +11,7 @@ import sys as _sys
 
 # Make `kcl_ltss_bioatm_tpu.<sub>` resolve to `plumekit.<sub>`.
 for _sub in ("config", "geo", "io", "ops", "identify", "models", "train",
-             "infer", "parallel", "label", "utils"):
+             "infer", "parallel", "label", "utils", "viz", "data", "native"):
     try:
         _mod = __import__(f"plumekit.{_sub}", fromlist=[_sub])
         _sys.modules[f"{__name__}.{_sub}"] = _mod
