@@ -35,8 +35,8 @@ def cmd_make_dataset(args) -> int:
     from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
 
     paths = PathsConfig(root=args.root)
-    maiac_dir = paths.resolve("maiac_dir")
-    fires_dir = paths.resolve("fires_dir")
+    maiac_dir = paths.ensure("maiac_dir")
+    fires_dir = paths.ensure("fires_dir")
     fire_frames = []
     for i in range(args.n_granules):
         scene = make_scene(
@@ -58,6 +58,57 @@ def cmd_make_dataset(args) -> int:
     fire_csv = os.path.join(fires_dir, "fires.csv")
     fires.drop(columns=["date_time"]).to_csv(fire_csv, index=False)
     logger.info("wrote %s (%d rows)", fire_csv, len(fires))
+
+    if args.viirs_swaths:
+        from plumekit.io.viirs import make_synthetic_swath, save_swath
+
+        sdr_dir = paths.ensure("viirs_sdr_dir")
+        for i in range(args.viirs_swaths):
+            swath = make_synthetic_swath(
+                seed=args.seed + i, name=f"viirs_sdr_{args.seed + i:04d}"
+            )
+            out = os.path.join(sdr_dir, swath.name + ".npz")
+            save_swath(out, swath)
+            logger.info("wrote %s %s", out, swath.shape)
+    return 0
+
+
+def cmd_resample_viirs(args) -> int:
+    """Reproject VIIRS SDR swaths onto their modal UTM zone — the workflow
+    the reference's ``reprojected_viirs`` path family and ``utm_resampler``
+    (``filepaths.py:13-16``, ``tools.py:9-64``) exist for but never wire up."""
+    from plumekit.io.viirs import (load_swath, reproject_swath,
+                                   write_quicklooks, write_reprojected_h5)
+
+    paths = PathsConfig(root=args.root)
+    sdr_dir = paths.resolve("viirs_sdr_dir")
+    h5_dir = paths.ensure("viirs_sdr_reproj_h5_dir")
+    n_done = 0
+    for fname in sorted(os.listdir(sdr_dir)):
+        if not fname.endswith(".npz"):
+            continue
+        base = os.path.splitext(fname)[0]
+        out_h5 = os.path.join(h5_dir, base + ".h5")
+        if os.path.exists(out_h5):
+            logger.info("%s already reprojected, continuing...", base)
+            continue
+        swath = load_swath(os.path.join(sdr_dir, fname))
+        resampler, rasters = reproject_swath(
+            swath, pixel_size_m=args.pixel_size,
+            radius_of_influence_m=args.radius,
+        )
+        write_reprojected_h5(out_h5, resampler, rasters)
+        if args.quicklooks:
+            write_quicklooks(
+                base, rasters,
+                blue_dir=paths.ensure("viirs_sdr_reproj_blue_dir"),
+                tcc_dir=paths.ensure("viirs_sdr_reproj_tcc_dir"),
+            )
+        n_done += 1
+        logger.info("%s → %s (zone %d%s, %dx%d)", fname, out_h5,
+                    resampler.zone, "S" if resampler.south else "N",
+                    resampler.y_size, resampler.x_size)
+    logger.info("reprojected %d swaths", n_done)
     return 0
 
 
@@ -78,12 +129,12 @@ def cmd_build_features(args) -> int:
 
     paths = PathsConfig(root=args.root)
     maiac_dir = paths.resolve("maiac_dir")
-    log = WorkLog(os.path.join(paths.resolve("log_dir"),
+    log = WorkLog(os.path.join(paths.ensure("log_dir"),
                                f"{args.detector}_log.txt"))
     fire_df = load_fire_csv(os.path.join(paths.resolve("fires_dir"),
                                          "fires.csv"))
-    aod_dir = paths.resolve("aod_df_dir")
-    hull_dir = paths.resolve("hull_df_dir")
+    aod_dir = paths.ensure("aod_df_dir")
+    hull_dir = paths.ensure("hull_df_dir")
 
     n_done = 0
     for fname in sorted(os.listdir(maiac_dir)):
@@ -112,7 +163,7 @@ def cmd_build_features(args) -> int:
 
                 plot_identify_bboxes(
                     granule.first_layer(), aod_df,
-                    os.path.join(paths.resolve("plot_dir"),
+                    os.path.join(paths.ensure("plot_dir"),
                                  base + "_plot.png"),
                 )
         elif args.detector == "basic":
@@ -138,7 +189,7 @@ def cmd_build_features(args) -> int:
 
                 plot_identify_bboxes(
                     aod, hull_df,
-                    os.path.join(paths.resolve("plot_dir"),
+                    os.path.join(paths.ensure("plot_dir"),
                                  base + "_plot.png"),
                 )
         else:
@@ -150,7 +201,7 @@ def cmd_build_features(args) -> int:
 
                 plot_identify_hulls(
                     granule.first_layer(), hull_df,
-                    os.path.join(paths.resolve("plot_dir"),
+                    os.path.join(paths.ensure("plot_dir"),
                                  base + "_plot.png"),
                 )
         hull_df.to_csv(os.path.join(hull_dir, base + "_extent.csv"),
@@ -313,10 +364,10 @@ def cmd_select(args) -> int:
                 hull_df, granule,
                 lambda r: (r.plume_id, r.datetime) in keep_set,
             )
-            kept.to_csv(os.path.join(paths.resolve("reduced_plume_hull_dir"),
+            kept.to_csv(os.path.join(paths.ensure("reduced_plume_hull_dir"),
                                      fname), index=False)
             rejected.to_csv(
-                os.path.join(paths.resolve("reduced_not_plume_hull_dir"),
+                os.path.join(paths.ensure("reduced_not_plume_hull_dir"),
                              fname), index=False)
             logger.info("%s: kept %d / rejected %d plume rows", base,
                         len(kept), len(rejected))
@@ -339,7 +390,22 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--size", type=int, default=512)
     d.add_argument("--plumes", type=int, default=4)
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--viirs-swaths", type=int, default=0,
+                   help="also write N synthetic VIIRS SDR swaths "
+                        "(raw/viirs/sdr, reference filepaths.py:13)")
     d.set_defaults(fn=cmd_make_dataset)
+
+    rv = sub.add_parser("resample_viirs",
+                        help="reproject SDR swaths to UTM grids "
+                             "(raw/reprojected_viirs)")
+    _add_root(rv)
+    rv.add_argument("--pixel-size", type=float, default=750.0,
+                    help="UTM grid pixel size in meters")
+    rv.add_argument("--radius", type=float, default=10000.0,
+                    help="radius of influence in meters (tools.py:57)")
+    rv.add_argument("--quicklooks", action="store_true",
+                    help="also write blue/tcc PNGs (filepaths.py:14-15)")
+    rv.set_defaults(fn=cmd_resample_viirs)
 
     f = sub.add_parser("build_features", help="batch identify → CSVs")
     _add_root(f)

@@ -29,6 +29,21 @@ class PathsConfig:
     reduced_plume_hull_dir: str = "raw/plume_identification/dataframes/reduced/plume/hull"
     reduced_not_plume_hull_dir: str = "raw/plume_identification/dataframes/reduced/not_plume/hull"
 
+    # VIIRS SDR + reprojections (reference filepaths.py:13-19)
+    viirs_sdr_dir: str = "raw/viirs/sdr"
+    viirs_sdr_reproj_tcc_dir: str = "raw/reprojected_viirs/tcc"
+    viirs_sdr_reproj_blue_dir: str = "raw/reprojected_viirs/blue"
+    viirs_sdr_reproj_h5_dir: str = "raw/reprojected_viirs/h5"
+    viirs_aod_dir: str = "raw/viirs/aod"
+    viirs_geo_dir: str = "raw/viirs/geo"
+    viirs_masks_dir: str = "raw/viirs/masks"
+
+    # VIIRS ML data tree (reference filepaths.py:22-26)
+    ml_viirs_sdr_dir: str = "raw/ml_data_viirs/sdr"
+    ml_viirs_tcc_dir: str = "raw/ml_data_viirs/tcc"
+    ml_viirs_h5_dir: str = "raw/ml_data_viirs/h5"
+    ml_viirs_plume_masks_dir: str = "raw/ml_data_viirs/mask_full_plume"
+
     # fires (reference filepaths.py:29, plume_identifier_rg.py:533)
     fires_dir: str = "raw/fires"
 
@@ -36,8 +51,15 @@ class PathsConfig:
     model_data_dir: str = "processed/model_data"
     model_dir: str = "models"
 
-    def resolve(self, name: str) -> str:
-        """Absolute path of the named sub-directory, created on demand."""
+    def resolve(self, name: str, create: bool = False) -> str:
+        """Absolute path of the named sub-directory. A read-only query by
+        default; pass ``create=True`` (or use :meth:`ensure`) on write paths —
+        querying a path must not mkdir as a side effect."""
         p = os.path.join(self.root, getattr(self, name))
-        os.makedirs(p, exist_ok=True)
+        if create:
+            os.makedirs(p, exist_ok=True)
         return p
+
+    def ensure(self, name: str) -> str:
+        """Absolute path of the named sub-directory, created if missing."""
+        return self.resolve(name, create=True)

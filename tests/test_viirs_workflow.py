@@ -1,0 +1,147 @@
+"""VIIRS SDR → UTM reprojection workflow (VERDICT round-1 #6).
+
+The reference reserves the ``raw/viirs/sdr`` + ``raw/reprojected_viirs``
+path family (``filepaths.py:13-26``) and ships ``utm_resampler``
+(``tools.py:9-64``) with no consumer; plumekit's ``resample_viirs`` workflow
+is that consumer. These tests run it end-to-end on a synthetic swath.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from plumekit.cli import main as cli_main
+from plumekit.config import PathsConfig
+from plumekit.geo.utm import UTMProjection
+from plumekit.io.viirs import (FILL_VALUE, Swath, load_swath,
+                               make_synthetic_swath, reproject_swath,
+                               save_swath)
+
+
+def test_paths_config_has_viirs_family():
+    """Every reference path constant (filepaths.py:13-26) has a field with
+    the same relative layout."""
+    p = PathsConfig(root="/tmp/x")
+    expect = {
+        "viirs_sdr_dir": "raw/viirs/sdr",
+        "viirs_sdr_reproj_tcc_dir": "raw/reprojected_viirs/tcc",
+        "viirs_sdr_reproj_blue_dir": "raw/reprojected_viirs/blue",
+        "viirs_sdr_reproj_h5_dir": "raw/reprojected_viirs/h5",
+        "viirs_aod_dir": "raw/viirs/aod",
+        "viirs_geo_dir": "raw/viirs/geo",
+        "viirs_masks_dir": "raw/viirs/masks",
+        "ml_viirs_sdr_dir": "raw/ml_data_viirs/sdr",
+        "ml_viirs_tcc_dir": "raw/ml_data_viirs/tcc",
+        "ml_viirs_h5_dir": "raw/ml_data_viirs/h5",
+        "ml_viirs_plume_masks_dir": "raw/ml_data_viirs/mask_full_plume",
+    }
+    for name, rel in expect.items():
+        assert getattr(p, name) == rel
+
+
+def test_resolve_is_read_only_ensure_creates(tmp_path):
+    """VERDICT weak #7: a path query must not mkdir as a side effect."""
+    p = PathsConfig(root=str(tmp_path))
+    q = p.resolve("viirs_sdr_dir")
+    assert not os.path.exists(q)
+    assert p.ensure("viirs_sdr_dir") == q
+    assert os.path.isdir(q)
+
+
+def test_swath_roundtrip(tmp_path):
+    swath = make_synthetic_swath(lines=12, samples=16, seed=3, name="s3")
+    path = str(tmp_path / "s3.npz")
+    save_swath(path, swath)
+    back = load_swath(path)
+    assert back.name == "s3"
+    assert sorted(back.channels) == ["aod", "blue", "green", "red"]
+    np.testing.assert_array_equal(back.lat, swath.lat)
+    np.testing.assert_array_equal(back.channels["aod"],
+                                  swath.channels["aod"])
+
+
+def test_reproject_swath_nearest_neighbour_semantics():
+    """Resampled values must be exact swath samples (nearest-neighbour, no
+    interpolation), covered cells dense near the swath core, and a constant
+    channel must stay constant wherever valid."""
+    swath = make_synthetic_swath(lines=64, samples=96, seed=0)
+    swath.channels["const"] = np.full(swath.shape, 0.625, np.float32)
+    resampler, rasters = reproject_swath(swath, pixel_size_m=1000.0)
+
+    valid = rasters["const"] != FILL_VALUE
+    assert valid.mean() > 0.5  # the grid is the swath's bbox; core is covered
+    assert np.all(rasters["const"][valid] == np.float32(0.625))
+
+    # every valid output value exists verbatim in the input channel
+    vals = rasters["blue"][valid]
+    assert np.isin(vals, swath.channels["blue"].ravel()).all()
+
+    # geolocation: centre of the grid maps back near the swath centre
+    cy, cx = resampler.y_size // 2, resampler.x_size // 2
+    ty = resampler.extent[3] - (cy + 0.5) * resampler.pixel_size
+    tx = resampler.extent[0] + (cx + 0.5) * resampler.pixel_size
+    lon, lat = resampler.proj.inverse(tx, ty)
+    assert abs(lat - (-10.0)) < 0.5 and abs(lon - (-60.0)) < 0.5
+
+
+def test_reproject_matches_brute_force_nn():
+    """Gather plan == brute-force nearest neighbour in UTM space."""
+    swath = make_synthetic_swath(lines=24, samples=32, seed=1)
+    resampler, rasters = reproject_swath(swath, pixel_size_m=2000.0)
+    proj = UTMProjection(resampler.zone, resampler.south)
+    sx, sy = proj.forward(swath.lon, swath.lat)
+    pts = np.column_stack([sx.ravel(), sy.ravel()])
+
+    tx = resampler.extent[0] + (np.arange(resampler.x_size) + 0.5) * 2000.0
+    ty = resampler.extent[3] - (np.arange(resampler.y_size) + 0.5) * 2000.0
+    txv, tyv = np.meshgrid(tx, ty)
+    d2 = (
+        (pts[None, :, 0] - txv.ravel()[:, None]) ** 2
+        + (pts[None, :, 1] - tyv.ravel()[:, None]) ** 2
+    )
+    nn = np.argmin(d2, axis=1)
+    dist = np.sqrt(d2[np.arange(nn.size), nn])
+    expect_valid = (dist <= 10000.0).reshape(resampler.y_size,
+                                             resampler.x_size)
+    np.testing.assert_array_equal(resampler.valid, expect_valid)
+    flat = swath.channels["aod"].ravel()
+    expect = np.where(expect_valid, flat[nn].reshape(expect_valid.shape),
+                      FILL_VALUE).astype(np.float32)
+    np.testing.assert_array_equal(rasters["aod"], expect)
+
+
+def test_cli_end_to_end(tmp_path):
+    """make_dataset --viirs-swaths → resample_viirs writes the
+    reprojected_viirs/h5 product (+ resume skip on rerun)."""
+    h5py = pytest.importorskip("h5py")
+    root = str(tmp_path)
+    assert cli_main(["make_dataset", "--root", root, "--n-granules", "1",
+                     "--size", "64", "--plumes", "1", "--viirs-swaths",
+                     "2"]) == 0
+    p = PathsConfig(root=root)
+    sdr = p.resolve("viirs_sdr_dir")
+    assert len(os.listdir(sdr)) == 2
+
+    assert cli_main(["resample_viirs", "--root", root,
+                     "--pixel-size", "1500"]) == 0
+    h5_dir = p.resolve("viirs_sdr_reproj_h5_dir")
+    outs = sorted(os.listdir(h5_dir))
+    assert outs == ["viirs_sdr_0000.h5", "viirs_sdr_0001.h5"]
+    with h5py.File(os.path.join(h5_dir, outs[0])) as f:
+        assert f.attrs["pixel_size_m"] == 1500.0
+        assert set(f) >= {"aod", "blue", "red", "green", "valid"}
+        aod = np.asarray(f["aod"])
+        valid = np.asarray(f["valid"])
+        assert aod.shape == valid.shape
+        assert (aod[~valid] == FILL_VALUE).all()
+        assert 18 <= f.attrs["utm_zone"] <= 22  # lon -60 → zone 20±edge
+        assert bool(f.attrs["south"])
+
+    # rerun: everything skipped, nothing rewritten
+    mtimes = {o: os.path.getmtime(os.path.join(h5_dir, o)) for o in outs}
+    assert cli_main(["resample_viirs", "--root", root]) == 0
+    for o in outs:
+        assert os.path.getmtime(os.path.join(h5_dir, o)) == mtimes[o]
