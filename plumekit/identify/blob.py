@@ -47,6 +47,15 @@ def _gaussian_blur(img, sigma: float):
     return img
 
 
+def _shift(img, dr: int, dc: int):
+    """``img[clip(i+dr), clip(j+dc)]`` — neighbour view with edge replication.
+    (``jnp.roll`` would wrap around and manufacture derivative responses at
+    opposite borders; skimage's detectors have no such wrap.)"""
+    h, w = img.shape
+    pad = jnp.pad(img, 1, mode="edge")
+    return lax.dynamic_slice(pad, (1 + dr, 1 + dc), (h, w))
+
+
 def _local_max_3d(stack, threshold):
     """(S, H, W) scale-space local maxima above threshold (26-neighbourhood)."""
     s, h, w = stack.shape
@@ -81,8 +90,8 @@ def _log_stack(img, sigmas: Tuple[float, ...]):
         # scale-normalised negative laplacian
         lap = (
             4.0 * blurred
-            - jnp.roll(blurred, 1, 0) - jnp.roll(blurred, -1, 0)
-            - jnp.roll(blurred, 1, 1) - jnp.roll(blurred, -1, 1)
+            - _shift(blurred, 1, 0) - _shift(blurred, -1, 0)
+            - _shift(blurred, 0, 1) - _shift(blurred, 0, -1)
         )
         outs.append(lap * s**2)
     return jnp.stack(outs)
@@ -108,11 +117,11 @@ def blob_dog(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
     k = int(np.log(cfg.max_sigma) / np.log(sigma_ratio)) + 1
     sigmas = [1.0 * sigma_ratio**i for i in range(k + 1)]
     blurred = [_gaussian_blur(img, s) for s in sigmas]
+    # the difference of Gaussians is already ≈scale-normalised
+    # (DoG ≈ (ratio−1)·σ²∇²G); the uniform 1/(ratio−1) factor matches
+    # skimage's ``sf`` — an extra ·σᵢ would bias argmax-over-scales upward
     dogs = jnp.stack(
-        [
-            (blurred[i] - blurred[i + 1]) * sigmas[i] / (sigma_ratio - 1.0)
-            for i in range(k)
-        ]
+        [(blurred[i] - blurred[i + 1]) / (sigma_ratio - 1.0) for i in range(k)]
     )
     maxima = _local_max_3d(dogs, cfg.threshold_dog)
     blobs = _extract(maxima, tuple(sigmas[:k]), max_blobs)
@@ -130,13 +139,11 @@ def blob_doh(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
     outs = []
     for s in sigmas:
         b = _gaussian_blur(img, s)
-        dyy = jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0) - 2 * b
-        dxx = jnp.roll(b, 1, 1) + jnp.roll(b, -1, 1) - 2 * b
+        dyy = _shift(b, 1, 0) + _shift(b, -1, 0) - 2 * b
+        dxx = _shift(b, 0, 1) + _shift(b, 0, -1) - 2 * b
         dxy = 0.25 * (
-            jnp.roll(jnp.roll(b, 1, 0), 1, 1)
-            + jnp.roll(jnp.roll(b, -1, 0), -1, 1)
-            - jnp.roll(jnp.roll(b, 1, 0), -1, 1)
-            - jnp.roll(jnp.roll(b, -1, 0), 1, 1)
+            _shift(b, 1, 1) + _shift(b, -1, -1)
+            - _shift(b, 1, -1) - _shift(b, -1, 1)
         )
         outs.append((dxx * dyy - dxy**2) * s**4)
     maxima = _local_max_3d(jnp.stack(outs), cfg.threshold_doh)
