@@ -52,39 +52,28 @@ def remove_duplicated_plumes(plume_df: pd.DataFrame) -> pd.DataFrame:
 
 
 def subset_plume(aod: np.ndarray, plume_df: pd.DataFrame):
-    """Crop the AOD to the hull bbox + buffer, shifting hull coords into crop
-    space (``plume_selector.py:53-85``). When the buffer clamps at the 0
-    edge the crop starts at 0, so leaving the coordinates unshifted is
-    correct — the reference's "asymmetric" branch (SURVEY.md quirk #12) only
-    asymmetrises the *buffer margin*, not the coordinates; reproduced."""
-    min_x = plume_df.hull_x.min()
-    max_x = plume_df.hull_x.max()
-    min_y = plume_df.hull_y.min()
-    max_y = plume_df.hull_y.max()
-    hull_x = plume_df.hull_x.values.copy()
-    hull_y = plume_df.hull_y.values.copy()
+    """Crop the AOD to the hull bbox ± buffer, shifting hull coords into crop
+    space (``plume_selector.py:53-85`` semantics).
 
-    if min_x - BUFFER_PX < 0:
-        min_x = 0
-    else:
-        hull_x = hull_x - min_x + BUFFER_PX
-        min_x = min_x - BUFFER_PX
-
-    if min_y - BUFFER_PX < 0:
-        min_y = 0
-    else:
-        hull_y = hull_y - min_y + BUFFER_PX
-        min_y = min_y - BUFFER_PX
-
-    max_x = aod.shape[1] if max_x + BUFFER_PX > aod.shape[1] else max_x + BUFFER_PX
-    max_y = aod.shape[0] if max_y + BUFFER_PX > aod.shape[0] else max_y + BUFFER_PX
-
-    if np.isnan([min_y, max_y, min_x, max_x]).any():
+    The reference's four-branch clamp collapses to clip arithmetic: the crop
+    window is ``[max(min−B, 0), min(max+B, size))`` per axis and the hull
+    shift is always ``−window_start`` — in the clamped-at-0 branch the
+    reference leaves coordinates unshifted *because* the window starts at 0,
+    so one uniform shift reproduces quirk #12's asymmetric buffer margin
+    exactly (nan hulls still propagate to the post-clamp check and bail)."""
+    hull_x = plume_df.hull_x.to_numpy(dtype=np.float64)
+    hull_y = plume_df.hull_y.to_numpy(dtype=np.float64)
+    h, w = aod.shape
+    x0 = np.maximum(hull_x.min() - BUFFER_PX, 0)
+    y0 = np.maximum(hull_y.min() - BUFFER_PX, 0)
+    x1 = np.minimum(hull_x.max() + BUFFER_PX, w)
+    y1 = np.minimum(hull_y.max() + BUFFER_PX, h)
+    if np.isnan([y0, y1, x0, x1]).any():
         return None, None, None
     return (
-        aod[int(min_y):int(max_y), int(min_x):int(max_x)],
-        hull_x,
-        hull_y,
+        aod[int(y0):int(y1), int(x0):int(x1)],
+        hull_x - x0,
+        hull_y - y0,
     )
 
 

@@ -101,12 +101,14 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     ``plume_identifier_gaussian_profile.py:482-483``) packed into fixed (F,)
     arrays with a validity mask.
     """
+    import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    from plumekit.ops.ccl import connected_components, remove_small_components
+    from plumekit.ops.ccl import (component_sizes, connected_components,
+                                  remove_small_components)
 
     h, w = shape
-    f = rows.shape[0]
     grid = jnp.zeros((h, w), dtype=bool)
     safe_r = jnp.where(valid, rows, 0)
     safe_c = jnp.where(valid, cols, 0)
@@ -122,16 +124,21 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     earlier = jnp.tril(eq, k=-1).any(axis=1)
     is_rep = alive & ~earlier
 
-    def centroid(lab):
-        m = labels == lab
-        n = jnp.maximum(jnp.sum(m), 1)
-        rr = jnp.sum(jnp.where(m, jnp.arange(h)[:, None], 0)) / n
-        cc = jnp.sum(jnp.where(m, jnp.arange(w)[None, :], 0)) / n
-        return rr.astype(jnp.int32), cc.astype(jnp.int32)
+    # per-component coordinate sums: three segment reductions over the image
+    # (addressable by label value, like component_sizes) replace the former
+    # per-fire full-image scan — O(H·W), not O(F·H·W)
+    flat = labels.reshape(-1)
+    rr = lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+    cc = lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    sum_r = jax.ops.segment_sum(rr, flat, num_segments=h * w + 1)
+    sum_c = jax.ops.segment_sum(cc, flat, num_segments=h * w + 1)
+    sizes = component_sizes(labels)
 
-    import jax
-
-    cr, ccol = jax.vmap(centroid)(jnp.where(is_rep, fire_labels, -1))
+    n = jnp.maximum(sizes[fire_labels], 1)
+    # float mean then truncation — the reference's ``.astype(int)`` of the
+    # centroid (``plume_identifier_gaussian_profile.py:482-483``)
+    cr = (sum_r[fire_labels] / n).astype(jnp.int32)
+    ccol = (sum_c[fire_labels] / n).astype(jnp.int32)
     return (
         jnp.where(is_rep, cr, 0),
         jnp.where(is_rep, ccol, 0),

@@ -135,3 +135,49 @@ def test_cli_full_pipeline(tmp_path):
     assert main(["predict_model", "--root", root, "--tile", "64"]) == 0
     preds = list((tmp_path / "processed/predictions").glob("*_pred.npz"))
     assert preds
+
+
+def test_subset_plume_matches_reference_branch_semantics():
+    """Quirk #12 oracle: the vectorised crop must equal the reference's
+    four-branch clamp (plume_selector.py:53-85) in every clamp combination —
+    including the asymmetric buffer margin when the hull sits near an edge."""
+    from plumekit.label.selector import BUFFER_PX
+
+    def oracle(aod, hull_x, hull_y):
+        min_x, max_x = hull_x.min(), hull_x.max()
+        min_y, max_y = hull_y.min(), hull_y.max()
+        hull_x, hull_y = hull_x.copy(), hull_y.copy()
+        if min_x - BUFFER_PX < 0:
+            min_x = 0
+        else:
+            hull_x = hull_x - min_x + BUFFER_PX
+            min_x = min_x - BUFFER_PX
+        if min_y - BUFFER_PX < 0:
+            min_y = 0
+        else:
+            hull_y = hull_y - min_y + BUFFER_PX
+            min_y = min_y - BUFFER_PX
+        max_x = aod.shape[1] if max_x + BUFFER_PX > aod.shape[1] else max_x + BUFFER_PX
+        max_y = aod.shape[0] if max_y + BUFFER_PX > aod.shape[0] else max_y + BUFFER_PX
+        return (aod[int(min_y):int(max_y), int(min_x):int(max_x)],
+                hull_x, hull_y)
+
+    rng = np.random.default_rng(0)
+    aod = rng.random((128, 128)).astype(np.float32)
+    cases = [  # (cx, cy): interior, near each edge, near corner
+        (64, 64), (10, 64), (64, 10), (120, 64), (64, 120), (8, 8),
+        (122, 122),
+    ]
+    for cx, cy in cases:
+        df = _square_hull(cx, cy, 6, 0)
+        got_crop, got_x, got_y = subset_plume(aod, df)
+        exp_crop, exp_x, exp_y = oracle(
+            aod, df.hull_x.to_numpy(float), df.hull_y.to_numpy(float))
+        np.testing.assert_array_equal(got_crop, exp_crop), (cx, cy)
+        np.testing.assert_allclose(got_x, exp_x)
+        np.testing.assert_allclose(got_y, exp_y)
+
+    # nan hull bails out like the reference's isnan check
+    df = _square_hull(64, 64, 6, 0)
+    df.loc[0, "hull_x"] = np.nan
+    assert subset_plume(aod, df) == (None, None, None)
