@@ -214,6 +214,21 @@ def cmd_build_features(args) -> int:
     return 0
 
 
+def cmd_prepare_model_data(args) -> int:
+    """Rasterise curated hulls (reduced/plume/hull) into model-ready
+    (channels, mask) samples under model_data_dir — the step between the
+    reference's selector outputs (``plume_selector.py:229-233``) and its
+    reserved ``interim/model_input`` (``filepaths.py:32``) that was never
+    committed."""
+    from plumekit.train.curated import build_model_data
+
+    paths = PathsConfig(root=args.root)
+    written = build_model_data(paths, fire_csv=args.fires)
+    logger.info("wrote %d model-ready samples to %s", len(written),
+                paths.resolve("model_data_dir"))
+    return 0 if written else 1
+
+
 def cmd_train_model(args) -> int:
     from plumekit.config.train import DataConfig, MeshConfig, TrainConfig, UNetConfig
     from plumekit.train.loop import train
@@ -221,6 +236,9 @@ def cmd_train_model(args) -> int:
     mesh = None
     if args.data_parallel > 1:
         mesh = MeshConfig(data=args.data_parallel)
+    curated_dir = None
+    if args.curated:
+        curated_dir = PathsConfig(root=args.root).resolve("model_data_dir")
     history = train(
         unet_cfg=UNetConfig(),
         train_cfg=TrainConfig(
@@ -231,6 +249,7 @@ def cmd_train_model(args) -> int:
         data_cfg=DataConfig(granule_size=args.granule_size),
         mesh_cfg=mesh,
         weak_labels=args.weak_labels,
+        curated_dir=curated_dir,
     )
     logger.info("final eval IoU %.3f", history["eval_iou"][-1])
     return 0
@@ -415,6 +434,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write annotated scene PNGs (reference main() plots)")
     f.set_defaults(fn=cmd_build_features)
 
+    pm = sub.add_parser("prepare_model_data",
+                        help="curated hulls → model-ready training samples")
+    _add_root(pm)
+    pm.add_argument("--fires", default=None,
+                    help="fire CSV (defaults to raw/fires/fires.csv)")
+    pm.set_defaults(fn=cmd_prepare_model_data)
+
     t = sub.add_parser("train_model", help="train the U-Net")
     _add_root(t)
     t.add_argument("--steps", type=int, default=200)
@@ -425,6 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--weak-labels", action="store_true",
                    help="label granules with the classical identify pipeline "
                         "instead of synthetic ground truth")
+    t.add_argument("--curated", action="store_true",
+                   help="train on curated samples from model_data_dir "
+                        "(run prepare_model_data first)")
     t.set_defaults(fn=cmd_train_model)
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")

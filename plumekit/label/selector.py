@@ -152,7 +152,7 @@ def apply_decisions(
         if not r.auto_rejected and decide(r)
     }
     key = list(zip(hull_df.id.astype(int), hull_df.datetime))
-    mask = np.array([k in kept_keys for k in key])
+    mask = np.array([k in kept_keys for k in key], dtype=bool)
     return hull_df[mask], hull_df[~mask]
 
 

@@ -1,0 +1,165 @@
+"""Curated-label training data — closes the identify → curation → training
+loop the reference exists for.
+
+The reference's selector writes kept hulls to ``reduced/plume/hull``
+(``plume_selector.py:229-233``) and ``filepaths.py:32`` reserves
+``interim/model_input`` for model-ready data — but the step that turns
+curated hulls into training targets was never committed (the U-Net half of
+the repo is absent, SURVEY.md §0). plumekit supplies it:
+
+* :func:`rasterize_hulls` fills curated convex hulls back into a pixel mask
+  (the inverse of hull extraction, same Delaunay containment as the
+  selector's ``in_hull``, ``plume_selector.py:88-99``);
+* :func:`build_model_data` joins curated hull CSVs with their granules and
+  the fire table and writes model-ready (channels, mask) samples under
+  ``model_data_dir`` (the ``prepare_model_data`` CLI step);
+* :func:`make_curated_dataset` feeds those samples to the training loop
+  (``train_model --curated``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from plumekit.config import PathsConfig
+from plumekit.io.granule import NULL_VALUE, Granule, load_granule
+from plumekit.train.data import GranuleSample, fire_channel
+from plumekit.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def rasterize_hulls(hull_df: pd.DataFrame, shape) -> np.ndarray:
+    """Union of filled convex hulls (one per plume ``id``) as a bool mask.
+
+    ``hull_df`` rows carry hull vertices in pixel space (``hull_x`` = col,
+    ``hull_y`` = row, the schema the identify detectors write). Containment
+    uses Delaunay ``find_simplex >= 0`` over the hull's bbox subgrid — the
+    same test the selector applies when sampling in-plume AOD — so a mask →
+    hull → mask round trip returns exactly the convex fill of the plume.
+    Degenerate hulls (<3 vertices or collinear) are skipped.
+    """
+    from scipy.spatial import Delaunay, QhullError
+
+    h, w = shape
+    mask = np.zeros((h, w), dtype=bool)
+    for _pid, g in hull_df.groupby("id"):
+        hx = g.hull_x.to_numpy(dtype=np.float64)
+        hy = g.hull_y.to_numpy(dtype=np.float64)
+        if len(hx) < 3 or np.isnan(hx).any() or np.isnan(hy).any():
+            continue
+        x0 = int(np.clip(np.floor(hx.min()), 0, w - 1))
+        x1 = int(np.clip(np.ceil(hx.max()) + 1, 1, w))
+        y0 = int(np.clip(np.floor(hy.min()), 0, h - 1))
+        y1 = int(np.clip(np.ceil(hy.max()) + 1, 1, h))
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        pts = np.column_stack([xx.ravel(), yy.ravel()])
+        try:
+            inside = Delaunay(np.column_stack([hx, hy])).find_simplex(pts) >= 0
+        except QhullError:
+            continue
+        mask[yy.ravel()[inside], xx.ravel()[inside]] = True
+    return mask
+
+
+def granule_to_channels(granule: Granule, ts: str,
+                        fire_df: Optional[pd.DataFrame],
+                        date=None) -> np.ndarray:
+    """(H, W, 2) AOD + fire-density channels for one orbit layer — the same
+    input bands the synthetic trainer uses (``train/data.py``)."""
+    from plumekit.identify.locate import locate_fires_in_image
+    from plumekit.io.fires import subset_fires_to_image
+
+    aod = (granule.layers[ts] if ts in granule.layers
+           else granule.first_layer()).copy()
+    aod[aod == NULL_VALUE] = 0.0
+    rows: np.ndarray = np.zeros(0, np.int32)
+    cols: np.ndarray = np.zeros(0, np.int32)
+    if fire_df is not None and len(fire_df):
+        sub = (subset_fires_to_image(granule.lat, granule.lon, fire_df, date)
+               if date is not None else fire_df)
+        rows, cols = locate_fires_in_image(
+            sub.latitude.to_numpy(), sub.longitude.to_numpy(),
+            granule.lat, granule.lon, win_half=0, edge_margin=0,
+        )
+    fire = fire_channel(aod.shape, rows, cols)
+    return np.stack([aod, fire], axis=-1).astype(np.float32)
+
+
+def build_model_data(
+    paths: PathsConfig,
+    fire_csv: Optional[str] = None,
+    out_dir: Optional[str] = None,
+) -> List[str]:
+    """For every curated hull CSV (``reduced/plume/hull/*_extent.csv``),
+    rasterise kept hulls per orbit layer and write a model-ready npz
+    (``channels`` (H, W, 2), ``mask`` (H, W)) under ``model_data_dir``.
+    Returns the written paths."""
+    from plumekit.io.dates import granule_date
+    from plumekit.io.fires import load_fire_csv
+
+    reduced_dir = paths.resolve("reduced_plume_hull_dir")
+    maiac_dir = paths.resolve("maiac_dir")
+    out_dir = out_dir or paths.ensure("model_data_dir")
+    fire_df = None
+    if fire_csv is None:
+        cand = os.path.join(paths.resolve("fires_dir"), "fires.csv")
+        fire_csv = cand if os.path.exists(cand) else None
+    if fire_csv is not None:
+        fire_df = load_fire_csv(fire_csv)
+
+    written: List[str] = []
+    for fname in sorted(os.listdir(reduced_dir)):
+        if not fname.endswith("_extent.csv"):
+            continue
+        hull_df = pd.read_csv(os.path.join(reduced_dir, fname))
+        if not len(hull_df):
+            continue
+        base = fname.replace("_extent.csv", "")
+        gpath = None
+        for ext in (".npz", ".h5", ".hdf"):
+            cand = os.path.join(maiac_dir, base + ext)
+            if os.path.exists(cand):
+                gpath = cand
+                break
+        if gpath is None:
+            logger.warning("no granule for %s — skipping", fname)
+            continue
+        granule = load_granule(gpath)
+        if "datetime" not in hull_df.columns:
+            hull_df["datetime"] = next(iter(granule.layers))
+        date = None
+        if fire_df is not None:
+            date = granule_date(base, default=fire_df.date_time.iloc[0])
+        for ts in hull_df.datetime.unique():
+            mask = rasterize_hulls(hull_df[hull_df.datetime == ts],
+                                   granule.shape)
+            channels = granule_to_channels(granule, str(ts), fire_df, date)
+            out = os.path.join(out_dir, f"{base}__{ts}.npz")
+            np.savez_compressed(out, channels=channels,
+                                mask=mask.astype(np.float32))
+            written.append(out)
+            logger.info("%s: %d plume px (%d hulls)", out, int(mask.sum()),
+                        hull_df[hull_df.datetime == ts].id.nunique())
+    return written
+
+
+def make_curated_dataset(model_data_dir: str) -> List[GranuleSample]:
+    """Load every model-ready npz under ``model_data_dir``."""
+    samples: List[GranuleSample] = []
+    for fname in sorted(os.listdir(model_data_dir)):
+        if not fname.endswith(".npz"):
+            continue
+        data = np.load(os.path.join(model_data_dir, fname))
+        samples.append(GranuleSample(channels=data["channels"],
+                                     mask=data["mask"]))
+    if not samples:
+        raise FileNotFoundError(
+            f"no model-ready samples in {model_data_dir}; run "
+            "'plumekit prepare_model_data' after curation"
+        )
+    return samples

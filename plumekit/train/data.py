@@ -136,13 +136,13 @@ def tile_batches(
     plume-biased: half the tiles are centred near mask pixels so the loss
     sees positives (plumes are sparse in full granules)."""
     count = 0
-    h, w = samples[0].channels.shape[:2]
     while steps is None or count < steps:
         xs = np.empty((batch_size, tile, tile, samples[0].channels.shape[-1]),
                       np.float32)
         ys = np.empty((batch_size, tile, tile, 1), np.float32)
         for b in range(batch_size):
             s = samples[rng.integers(len(samples))]
+            h, w = s.channels.shape[:2]  # curated granules may vary in size
             if rng.random() < 0.5 and s.mask.any():
                 pys, pxs = np.nonzero(s.mask)
                 k = rng.integers(len(pys))

@@ -29,11 +29,15 @@ def train(
     mesh_cfg: Optional[MeshConfig] = None,
     checkpoint: bool = True,
     weak_labels: bool = False,
+    curated_dir: Optional[str] = None,
 ) -> Dict[str, List[float]]:
     """Run the supervised loop; returns metric history. With a mesh config,
     the batch shards over ``data`` across devices (config 4).
     ``weak_labels`` trains on masks produced by the classical identify
-    pipeline instead of synthetic ground truth (the reference's data story).
+    pipeline instead of synthetic ground truth (the reference's data story);
+    ``curated_dir`` trains on human-curated model-ready samples written by
+    ``prepare_model_data`` (the closed selector loop) and overrides
+    ``weak_labels``.
     """
     mesh = make_mesh(mesh_cfg) if mesh_cfg and mesh_cfg.n_devices > 1 else None
 
@@ -58,7 +62,18 @@ def train(
     step_fn = make_train_step(train_cfg.dice_weight, train_cfg.augment, mesh)
     eval_fn = make_eval_step()
 
-    if weak_labels:
+    if curated_dir:
+        from plumekit.train.curated import make_curated_dataset
+
+        samples = make_curated_dataset(curated_dir)
+        # hold out the last sample as a dev set when there is enough data
+        if len(samples) >= 4:
+            train_set, eval_set = samples[:-1], samples[-1:]
+        else:
+            train_set = eval_set = samples
+        logger.info("curated dataset: %d train / %d eval granule-layers",
+                    len(train_set), len(eval_set))
+    elif weak_labels:
         from plumekit.train.data import make_weak_label_dataset
 
         train_set = make_weak_label_dataset(data_cfg, train=True)
