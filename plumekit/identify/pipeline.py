@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from plumekit.ops.ccl import connected_components, component_sizes
+from plumekit.ops.ccl import connected_components
 from plumekit.ops.morphology import binary_opening_cross, binary_dilation_square
 from plumekit.ops.segment import (
     label_window_nearest,
@@ -123,17 +123,19 @@ def make_sweep_identifier(statics: SweepStatics):
     """
     s = statics
 
-    def assess_at(labels_all, size_maps, aod_det, aod_stat, null_mask,
-                  t_idx, r, c):
+    def assess_at(labels_all, sizes_tf, aod_det, aod_stat, null_mask,
+                  t_idx, f_idx, r, c):
         """Vet the plume for one fire at one (dynamic) threshold index.
 
         Mirrors ``find_plume_mask``+``assess_plume``+``check_plume_profile``
-        (``plume_identifier_rg.py:237-354``).
+        (``plume_identifier_rg.py:237-354``). ``sizes_tf`` is the (T, F)
+        per-fire component-size table (the fire's window label re-derived
+        here equals the one the table was built from).
         """
         lab_img = labels_all[t_idx]
         label, found = label_window_nearest(lab_img, r, c, s.win_half)
         mask = (lab_img == label) & found
-        area = size_maps[t_idx, label]
+        area = jnp.where(found, sizes_tf[t_idx, f_idx], 0)
 
         ok = found
         ok &= area >= s.min_plume_pixels          # CHECK 1
@@ -215,14 +217,20 @@ def make_sweep_identifier(statics: SweepStatics):
         masks = aod_det[None, :, :] > thresholds[:, None, None]
         opened = binary_opening_cross(masks)
 
-        # lax.map (sequential), NOT vmap: a batched while_loop would make
-        # every threshold pay the sweep count of the slowest one (low
-        # thresholds are percolation-regime and need ~10x the sweeps)
-        def label_one(m):
-            lbl = connected_components(m, connectivity=2)
-            return lbl, component_sizes(lbl)
+        # Thresholds are descending, so opened[0] ⊆ opened[1] ⊆ … (opening
+        # is monotone): scan tightest→loosest, warm-starting each labeling
+        # from the previous level's labels. Each level's while_loop then
+        # only pays for the newly-added bridges instead of relabelling the
+        # whole (percolation-regime) mask from scratch. lax.scan, NOT vmap:
+        # a batched while_loop would also make every threshold pay the
+        # slowest level's sweep count.
+        def label_one(prev, m):
+            lbl = connected_components(m, connectivity=2, init_labels=prev)
+            return lbl, lbl
 
-        labels_all, size_maps = jax.lax.map(label_one, opened)
+        _, labels_all = jax.lax.scan(
+            label_one, jnp.zeros((h, w), jnp.int32), opened
+        )
 
         def window_label(lab_img, r, c):
             return label_window_nearest(lab_img, r, c, s.win_half)
@@ -234,7 +242,15 @@ def make_sweep_identifier(statics: SweepStatics):
             )
         )(labels_all)
 
-        sizes_tf = jnp.take_along_axis(size_maps, lab_tf, axis=1)
+        # per-(threshold, fire) component sizes as masked counts — F scalar
+        # comparisons fused over one pass of each label image. The former
+        # H·W+1-segment ``segment_sum`` size map lowers to a giant scatter
+        # on TPU; only these ≤ T·F sizes are ever read.
+        def sizes_one(lab_img, labs):
+            eq = lab_img[None, :, :] == labs[:, None, None]  # (F, H, W)
+            return jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
+
+        sizes_tf = jax.vmap(sizes_one)(labels_all, lab_tf)  # (T, F)
         extents = jnp.where(
             found_tf & fire_valid[None, :], sizes_tf, 0
         )  # (T, F)
@@ -245,9 +261,10 @@ def make_sweep_identifier(statics: SweepStatics):
         )(extents)
         has_idx &= fire_valid
 
-        def per_fire(ti, r, c):
+        def per_fire(ti, f_idx, r, c):
             res_a = assess_at(
-                labels_all, size_maps, aod_det, aod_stat, null_mask, ti, r, c
+                labels_all, sizes_tf, aod_det, aod_stat, null_mask, ti,
+                f_idx, r, c
             )
             if not s.use_mask_b:
                 return res_a | {"t_used": ti}
@@ -256,7 +273,8 @@ def make_sweep_identifier(statics: SweepStatics):
             # plume_identifier_rg.py:386)
             ti_b = jnp.where(ti - 1 < 0, t_count - 1, ti - 1)
             res_b = assess_at(
-                labels_all, size_maps, aod_det, aod_stat, null_mask, ti_b, r, c
+                labels_all, sizes_tf, aod_det, aod_stat, null_mask, ti_b,
+                f_idx, r, c
             )
             sum_a = jnp.sum(res_a["mask"])
             sum_b = jnp.sum(res_b["mask"])
@@ -284,7 +302,8 @@ def make_sweep_identifier(statics: SweepStatics):
             out["dbg_b"] = res_b["dbg"]
             return out
 
-        res = jax.vmap(per_fire)(t_idx, fire_rows, fire_cols)
+        res = jax.vmap(per_fire)(t_idx, jnp.arange(f_count), fire_rows,
+                                 fire_cols)
         accepted = res["ok"] & has_idx
         mask = res["mask"] & accepted[:, None, None]
         if s.dilate_plume_px:

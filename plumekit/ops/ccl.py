@@ -79,7 +79,7 @@ def _sweep(lbl, mask, connectivity: int):
 
 @partial(jax.jit, static_argnames=("connectivity", "max_sweeps", "hops"))
 def connected_components(mask, connectivity: int = 2, max_sweeps: int = 256,
-                         hops: int = 2):
+                         hops: int = 2, init_labels=None):
     """Label a (H, W) boolean mask. Returns int32 labels: 0 for background,
     ``min_pixel_id + 1`` for each component (stable, order-independent).
 
@@ -93,13 +93,24 @@ def connected_components(mask, connectivity: int = 2, max_sweeps: int = 256,
     label of the pixel its label names). Percolation-regime masks — one
     giant snaky component, e.g. low AOD thresholds — drop from hundreds of
     sweeps to O(log diameter): 216 → 18 measured on 1200² noise.
+
+    ``init_labels`` warm-starts the fixpoint from the labels of a *subset*
+    mask (this op's output format). Any pixel whose init label names a pixel
+    in its own component is a valid upper bound, so labels computed at a
+    tighter threshold seed the looser one and the loop only pays for the
+    newly-added bridges — the lever behind the sweep pipeline's
+    tightest→loosest scan.
     """
     h, w = mask.shape
     ids = (
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    init = jnp.where(mask, ids, _SENTINEL)
+    if init_labels is None:
+        init = jnp.where(mask, ids, _SENTINEL)
+    else:
+        seeded = jnp.where(init_labels > 0, init_labels - 1, ids)
+        init = jnp.where(mask, seeded, _SENTINEL)
 
     def cond(state):
         _, changed, it = state

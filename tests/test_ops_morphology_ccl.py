@@ -169,3 +169,28 @@ def test_ccl_pathological_shapes(case):
     ours = np.asarray(connected_components(jnp.asarray(m), 2))
     ref, _ = ndimage.label(m, structure=np.ones((3, 3)))
     _partitions_equal(ours, ref)
+
+
+def test_ccl_warm_start_matches_cold(rng):
+    """Warm-starting from a tighter (subset) mask's labels must reach the
+    identical fixed point as a cold labeling — the invariant behind the
+    sweep pipeline's tightest→loosest scan."""
+    import jax.numpy as jnp
+
+    from plumekit.ops.ccl import connected_components
+
+    field = rng.random((96, 96)).astype(np.float32)
+    field = np.maximum(field, np.roll(field, 1, 0))  # correlated-ish
+    tight = jnp.asarray(field > 0.7)
+    loose = jnp.asarray(field > 0.35)   # superset of tight by construction
+
+    lbl_tight = connected_components(tight, connectivity=2)
+    cold = connected_components(loose, connectivity=2)
+    warm = connected_components(loose, connectivity=2,
+                                init_labels=lbl_tight)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm))
+
+    # warm start from an empty labeling is exactly the cold path
+    warm0 = connected_components(
+        loose, connectivity=2, init_labels=jnp.zeros((96, 96), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm0))
