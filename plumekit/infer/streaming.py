@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from plumekit.io.granule import Granule, NULL_VALUE, load_granule
-from plumekit.io.prefetch import device_prefetch
+from plumekit.io.prefetch import decode_pool, device_prefetch
 from plumekit.infer.sliding import pad_to_multiple
 from plumekit.train.data import fire_channel
 from plumekit.utils import get_logger
@@ -25,23 +25,43 @@ from plumekit.utils import get_logger
 logger = get_logger(__name__)
 
 
+def decode_granule_channels(
+    path: str,
+    depth: int,
+    fire_locator: Optional[Callable[[Granule], Tuple[list, list]]] = None,
+) -> Tuple[str, np.ndarray, Tuple[int, int]]:
+    """Decode one granule to a model-ready (H', W', 2) channel stack (padded
+    to the U-Net divisibility). Pure host work — safe to run on pool
+    threads (npz inflate / h5 decode release the GIL)."""
+    granule = load_granule(path)
+    aod = granule.first_layer().copy()
+    aod[aod == NULL_VALUE] = 0.0
+    rows, cols = fire_locator(granule) if fire_locator else ([], [])
+    channels = np.stack(
+        [aod, fire_channel(aod.shape, rows, cols)], axis=-1
+    ).astype(np.float32)
+    padded, hw = pad_to_multiple(channels, 2**depth)
+    return granule.name, padded, hw
+
+
 def granule_channel_stream(
     paths: Iterable[str],
     depth: int,
     fire_locator: Optional[Callable[[Granule], Tuple[list, list]]] = None,
+    decode_workers: int = 1,
 ) -> Iterator[Tuple[str, np.ndarray, Tuple[int, int]]]:
-    """Decode granules to model-ready (H', W', 2) channel stacks (padded to
-    the U-Net divisibility), yielding (name, channels, original_shape)."""
+    """Stream of decoded granules; with ``decode_workers > 1`` decodes run
+    on a thread pool with ordered delivery (config 5's host decode pool)."""
+    if decode_workers > 1:
+        yield from decode_pool(
+            paths,
+            lambda p: decode_granule_channels(p, depth, fire_locator),
+            workers=decode_workers,
+            depth=decode_workers + 1,
+        )
+        return
     for path in paths:
-        granule = load_granule(path)
-        aod = granule.first_layer().copy()
-        aod[aod == NULL_VALUE] = 0.0
-        rows, cols = fire_locator(granule) if fire_locator else ([], [])
-        channels = np.stack(
-            [aod, fire_channel(aod.shape, rows, cols)], axis=-1
-        ).astype(np.float32)
-        padded, hw = pad_to_multiple(channels, 2**depth)
-        yield granule.name, padded, hw
+        yield decode_granule_channels(path, depth, fire_locator)
 
 
 def stream_inference(
@@ -51,17 +71,21 @@ def stream_inference(
     depth: int,
     buffer_size: int = 2,
     fire_locator=None,
+    decode_workers: int = 4,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
-    stream with decode/transfer prefetched ``buffer_size`` granules ahead.
-    Yields (granule_name, probs cropped to the original shape)."""
+    stream: a ``decode_workers``-thread pool decodes granules in parallel
+    (ordered), a stager thread transfers them to HBM ``buffer_size`` ahead,
+    and the device computes on the current one. Yields (granule_name, probs
+    cropped to the original shape)."""
 
     def put(item):
         name, channels, hw = item
         return name, jax.device_put(jnp.asarray(channels)), hw
 
     stream = device_prefetch(
-        granule_channel_stream(paths, depth, fire_locator),
+        granule_channel_stream(paths, depth, fire_locator,
+                               decode_workers=decode_workers),
         buffer_size=buffer_size,
         device_put=put,
     )

@@ -8,11 +8,43 @@ so HBM transfer and host decode hide behind device time.
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional
+from collections import deque
+from typing import Callable, Iterable, Iterator, Optional, TypeVar
 
 import jax
+
+T = TypeVar("T")
+U = TypeVar("U")
+
+
+def decode_pool(
+    items: Iterable[T],
+    decode_fn: Callable[[T], U],
+    workers: int = 4,
+    depth: int = 4,
+) -> Iterator[U]:
+    """Multi-threaded decode with *ordered* delivery: up to ``depth`` items
+    are in flight across ``workers`` threads, results yield in submission
+    order. This is the "host decode pool" half of config 5 — npz inflate,
+    HDF decode and channel assembly run in parallel under released GILs
+    while the consumer (device staging / inference) drains in order.
+    A worker exception propagates to the consumer at that item's turn.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(items)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending: deque = deque(
+            ex.submit(decode_fn, x) for x in itertools.islice(it, depth)
+        )
+        while pending:
+            nxt = pending.popleft()
+            for x in itertools.islice(it, 1):
+                pending.append(ex.submit(decode_fn, x))
+            yield nxt.result()
 
 
 def device_prefetch(

@@ -81,3 +81,60 @@ def test_metrics_writer(tmp_path):
     df = pd.read_csv(path)
     assert list(df.step) == [1, 2, 3]
     assert df.loss.iloc[-1] == 0.3
+
+
+def test_decode_pool_ordered_and_parallel():
+    """decode_pool must deliver in submission order regardless of per-item
+    decode latency, and propagate worker exceptions at the failing item."""
+    import time
+
+    from plumekit.io.prefetch import decode_pool
+
+    def slow_decode(i):
+        time.sleep(0.05 if i % 2 == 0 else 0.0)  # evens are slower
+        return i * 10
+
+    out = list(decode_pool(range(8), slow_decode, workers=4))
+    assert out == [i * 10 for i in range(8)]
+
+    def maybe_fail(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    got = []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        for x in decode_pool(range(6), maybe_fail, workers=3):
+            got.append(x)
+    assert got == [0, 1, 2]  # items before the failure arrived in order
+
+
+def test_stream_inference_with_decode_pool(tmp_path, rng):
+    """Pool-decoded streaming inference must produce identical results to
+    decode_workers=1 (ordering and numerics preserved)."""
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="float32")
+    model = UNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 2)), train=False)
+    infer = make_sliding_infer(
+        model.apply, InferConfig(tile_size=64, overlap=8, batch_tiles=2),
+        channels=2,
+    )
+    paths = []
+    for i in range(5):
+        aod = rng.random((70, 90)).astype(np.float32)
+        lat, lon = np.mgrid[0:70, 0:90].astype(np.float64)
+        g = Granule(layers={"t0": aod}, lat=lat, lon=lon, name=f"p{i}")
+        p = str(tmp_path / f"p{i}.npz")
+        save_granule(p, g)
+        paths.append(p)
+
+    serial = list(stream_inference(paths, infer, variables, cfg.depth,
+                                   decode_workers=1))
+    pooled = list(stream_inference(paths, infer, variables, cfg.depth,
+                                   decode_workers=4))
+    assert [n for n, _ in serial] == [n for n, _ in pooled]
+    for (_, a), (_, b) in zip(serial, pooled):
+        np.testing.assert_array_equal(a, b)
