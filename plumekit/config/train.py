@@ -43,6 +43,13 @@ class TrainConfig:
     checkpoint_every: int = 200
     log_every: int = 20
     augment: bool = True          # on-device flips/rot90 (config 4)
+    #: BCE target smoothing ε (y → y·(1−2ε)+ε) — weak-label noise hedge
+    label_smooth: float = 0.0
+    #: evaluate the dev set every N steps (0 = only at the end)
+    eval_every: int = 0
+    #: stop after this many consecutive evals without dev-IoU improvement
+    #: (0 = never stop early); requires eval_every > 0
+    early_stop_patience: int = 0
 
 
 @dataclass(frozen=True)

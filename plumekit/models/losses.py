@@ -35,10 +35,18 @@ def dice_loss(logits, labels, mask=None, eps: float = 1.0):
     return 1.0 - (2.0 * inter + eps) / (union + eps)
 
 
-def dice_bce_loss(logits, labels, dice_weight: float = 0.5, mask=None):
+def dice_bce_loss(logits, labels, dice_weight: float = 0.5, mask=None,
+                  label_smooth: float = 0.0):
+    """Combined loss. ``label_smooth`` ε softens the BCE targets to
+    ``y·(1−2ε)+ε`` — a weak-label noise hedge (the classical identify masks
+    are imperfect; VERDICT round-1 weak #4). Dice keeps hard targets (its
+    overlap semantics degrade under soft labels)."""
+    bce_labels = labels
+    if label_smooth:
+        bce_labels = labels * (1.0 - 2.0 * label_smooth) + label_smooth
     return (
         dice_weight * dice_loss(logits, labels, mask)
-        + (1.0 - dice_weight) * bce_with_logits(logits, labels, mask)
+        + (1.0 - dice_weight) * bce_with_logits(logits, bce_labels, mask)
     )
 
 

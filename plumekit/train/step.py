@@ -20,7 +20,7 @@ from plumekit.train.state import TrainState
 
 
 def make_train_step(dice_weight: float = 0.5, augment: bool = True,
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None, label_smooth: float = 0.0):
     """Returns ``step(state, xs, ys, rng) -> (state, metrics)``.
 
     With a mesh, inputs are expected batch-sharded over ``data`` (see
@@ -42,7 +42,8 @@ def make_train_step(dice_weight: float = 0.5, augment: bool = True,
             else:
                 logits = state.apply_fn(variables, xs, train=True)
                 new_stats = None
-            loss = dice_bce_loss(logits, ys, dice_weight)
+            loss = dice_bce_loss(logits, ys, dice_weight,
+                                 label_smooth=label_smooth)
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(

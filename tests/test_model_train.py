@@ -177,3 +177,38 @@ def test_dp_step_matches_single_device():
     for la, lb in zip(a, b):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_early_stopping_and_label_smoothing(tmp_path):
+    """eval_every tracks a dev curve, keeps the best step, and
+    early_stop_patience halts training; label_smooth only softens BCE."""
+    import jax.numpy as jnp
+
+    from plumekit.config.train import DataConfig, TrainConfig, UNetConfig
+    from plumekit.models.losses import dice_bce_loss
+    from plumekit.train.loop import train
+
+    # label smoothing: at eps=0.25 the BCE targets move toward 0.5
+    logits = jnp.asarray([[2.0, -2.0]])
+    labels = jnp.asarray([[1.0, 0.0]])
+    hard = dice_bce_loss(logits, labels, dice_weight=0.0)
+    soft = dice_bce_loss(logits, labels, dice_weight=0.0, label_smooth=0.25)
+    assert float(soft) > float(hard)  # confident logits get penalised
+
+    hist = train(
+        unet_cfg=UNetConfig(base_features=8, depth=2,
+                            compute_dtype="float32"),
+        train_cfg=TrainConfig(
+            total_steps=40, batch_size=2, tile_size=32, log_every=10,
+            eval_every=5, early_stop_patience=2, label_smooth=0.05,
+            checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=1000,
+            learning_rate=0.0,  # frozen model -> dev IoU can never improve
+        ),
+        data_cfg=DataConfig(granule_size=64, n_train_granules=1,
+                            n_eval_granules=1),
+        checkpoint=False,
+    )
+    # patience 2 with a frozen model: first eval sets best, next two miss
+    assert len(hist["eval_steps"]) == 3
+    assert hist["best_dev_step"] == [5.0]
+    assert hist["eval_iou"]  # final eval still reported
