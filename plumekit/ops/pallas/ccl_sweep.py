@@ -1,0 +1,258 @@
+"""Multi-threshold connected-component labelling as ONE Pallas TPU kernel.
+
+The identify sweep's cost on the tunneled v5e is almost entirely relay
+dispatch: each label-propagation sweep lowers to ~550 XLA ops (segmented
+scans are log-depth op chains) and ~60 sweeps across 20 thresholds cost
+~1.6 s/scene at 1200² — 45 µs/op of fixed overhead, not compute
+(experiments/ccl_timing.py). This kernel runs the *entire* threshold stack
+— warm-started labelling, all sweeps, convergence checks — inside a single
+``pallas_call``, holding the label image in VMEM:
+
+* grid = (T,); thresholds are processed tightest→loosest and the label
+  scratch persists across grid steps, so each level warm-starts from the
+  previous (nested) level's fixed point — same invariant as
+  :func:`plumekit.ops.ccl.connected_components` ``init_labels``;
+* a sweep is Gauss-Seidel over row blocks: 8-neighbour min, segmented
+  min-scans along rows (both directions, ``pltpu.roll`` Hillis–Steele with
+  barrier flags), and a segmented column scan in the pass direction — a
+  top→bottom pass then a bottom→top pass, reading already-updated halo rows
+  so label information crosses the whole image in one pass per direction;
+* convergence is a per-level ``lax.while_loop`` on an any-changed flag.
+
+Output labels are bit-identical to the XLA op: 0 background,
+``min_pixel_id + 1`` per component (ids over the *unpadded* (H, W) grid).
+
+Requires the masks to be NESTED (``masks[i] ⊆ masks[i+1]``) — exactly what
+a descending threshold sweep of a monotone opening produces. The XLA path
+(`ops.ccl`) remains the CPU/fallback implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# python int, not a jnp scalar: a traced constant would be "captured" by the
+# kernel closure, which pallas_call rejects
+_SENT = int(np.iinfo(np.int32).max)
+
+#: halo rows kept around each row block (≥ 1 for the 3×3 stencil; 8 keeps
+#: sublane slices aligned)
+HALO = 8
+
+
+def _roll(x, shift: int, axis: int, interpret: bool):
+    if interpret:
+        return jnp.roll(x, shift, axis)
+    # pltpu.roll rejects negative shifts; a circular shift by -s ≡ n-s
+    return pltpu.roll(x, shift=shift % x.shape[axis], axis=axis)
+
+
+def _row_scan(v, barrier_i32, w_pad: int, reverse: bool, interpret: bool):
+    """Segmented min-scan along lanes; barrier cells (flag 1) reset
+    segments. Flags ride int32 — Mosaic cannot rotate i1 vectors."""
+    rows = v.shape[0]
+    lane = lax.broadcasted_iota(jnp.int32, (rows, w_pad), 1)
+    f = barrier_i32
+    s = 1
+    while s < w_pad:
+        if not reverse:
+            vs = _roll(v, s, 1, interpret)
+            fs = _roll(f, s, 1, interpret)
+            wrapped = lane < s
+        else:
+            vs = _roll(v, -s, 1, interpret)
+            fs = _roll(f, -s, 1, interpret)
+            wrapped = lane >= w_pad - s
+        vs = jnp.where(wrapped, _SENT, vs)
+        fs = jnp.where(wrapped, 1, fs)
+        v = jnp.where(f != 0, v, jnp.minimum(v, vs))
+        f = jnp.maximum(f, fs)
+        s *= 2
+    return v
+
+
+def _col_scan(v, barrier_i32, reverse: bool, interpret: bool):
+    """Segmented min-scan along sublanes (within the block window)."""
+    rows = v.shape[0]
+    ridx = lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    f = barrier_i32
+    s = 1
+    while s < rows:
+        if not reverse:
+            vs = _roll(v, s, 0, interpret)
+            fs = _roll(f, s, 0, interpret)
+            wrapped = ridx < s
+        else:
+            vs = _roll(v, -s, 0, interpret)
+            fs = _roll(f, -s, 0, interpret)
+            wrapped = ridx >= rows - s
+        vs = jnp.where(wrapped, _SENT, vs)
+        fs = jnp.where(wrapped, 1, fs)
+        v = jnp.where(f != 0, v, jnp.minimum(v, vs))
+        f = jnp.maximum(f, fs)
+        s *= 2
+    return v
+
+
+def _kernel(opened_hbm, out_hbm, lbl, mwin, stage, sem_in, sem_out, *,
+            t_count: int, n_blk: int, block: int, h: int, w: int,
+            w_pad: int, connectivity: int, max_sweeps: int, nested: bool,
+            interpret: bool):
+    t = pl.program_id(0)
+    h_blk = n_blk * block
+
+    if connectivity == 2:
+        offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                   (1, -1), (1, 0), (1, 1)]
+    else:
+        offsets = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+
+    lane = lax.broadcasted_iota(jnp.int32, (block + 2 * HALO, w_pad), 1)
+
+    @pl.when(t == 0)
+    def _init_halos():
+        lbl[pl.ds(0, HALO), :] = jnp.full((HALO, w_pad), _SENT, jnp.int32)
+        lbl[pl.ds(HALO + h_blk, HALO), :] = jnp.full((HALO, w_pad), _SENT,
+                                                     jnp.int32)
+
+    # ---- init this level's labels (warm start from the previous level) ----
+    def init_block(b, _):
+        cp = pltpu.make_async_copy(
+            opened_hbm.at[t, pl.ds(b * block, block), :], mwin, sem_in
+        )
+        cp.start()
+        cp.wait()
+        prev = lbl[pl.ds(HALO + b * block, block), :]
+        rr = lax.broadcasted_iota(jnp.int32, (block, w_pad), 0) + b * block
+        cc = lax.broadcasted_iota(jnp.int32, (block, w_pad), 1)
+        ids = rr * w + cc
+        if nested:
+            seed = jnp.where((t > 0) & (prev != _SENT), prev, ids)
+        else:
+            seed = ids
+        lbl[pl.ds(HALO + b * block, block), :] = jnp.where(
+            mwin[:] != 0, seed, _SENT
+        )
+        return 0
+
+    lax.fori_loop(0, n_blk, init_block, 0)
+
+    # ---- one block window relaxation (returns whether the center moved) --
+    def process(b, upward: bool):
+        win = lbl[pl.ds(b * block, block + 2 * HALO), :]
+        rows = block + 2 * HALO
+        ridx = lax.broadcasted_iota(jnp.int32, (rows, w_pad), 0)
+        barrier = win == _SENT
+        cand = jnp.full_like(win, _SENT)
+        for dr, dc in offsets:
+            nb = win
+            if dr:
+                nb = _roll(nb, -dr, 0, interpret)
+                # window-edge rows wrap to the opposite edge — values from
+                # ~`block` rows away. The contaminated halo rows are never
+                # written back, but the column scan would carry their values
+                # into the center: blank them.
+                if dr > 0:
+                    nb = jnp.where(ridx >= rows - dr, _SENT, nb)
+                else:
+                    nb = jnp.where(ridx < -dr, _SENT, nb)
+            if dc:
+                nb = _roll(nb, -dc, 1, interpret)
+                if dc > 0:
+                    nb = jnp.where(lane >= w_pad - dc, _SENT, nb)
+                else:
+                    nb = jnp.where(lane < -dc, _SENT, nb)
+            cand = jnp.minimum(cand, nb)
+        new = jnp.where(barrier, _SENT, jnp.minimum(win, cand))
+        bar32 = barrier.astype(jnp.int32)
+        new = _row_scan(new, bar32, w_pad, reverse=False,
+                        interpret=interpret)
+        new = _row_scan(new, bar32, w_pad, reverse=True,
+                        interpret=interpret)
+        new = _col_scan(new, bar32, reverse=upward, interpret=interpret)
+        center_new = new[HALO:HALO + block]
+        center_old = win[HALO:HALO + block]
+        lbl[pl.ds(b * block + HALO, block), :] = center_new
+        return jnp.any(center_new != center_old)
+
+    # ---- sweep to fixpoint: top→bottom then bottom→top Gauss-Seidel ------
+    def sweep_cond(state):
+        changed, it = state
+        return changed & (it < max_sweeps)
+
+    def sweep_body(state):
+        _, it = state
+        down = lax.fori_loop(
+            0, n_blk, lambda b, ch: ch | process(b, upward=False),
+            jnp.bool_(False))
+        up = lax.fori_loop(
+            0, n_blk, lambda i, ch: ch | process(n_blk - 1 - i, upward=True),
+            jnp.bool_(False))
+        return down | up, it + 1
+
+    lax.while_loop(sweep_cond, sweep_body, (jnp.bool_(True), jnp.int32(0)))
+
+    # ---- emit external labels for this level ------------------------------
+    def out_block(b, _):
+        center = lbl[pl.ds(HALO + b * block, block), :]
+        stage[:] = jnp.where(center != _SENT, center + 1, 0)
+        cp = pltpu.make_async_copy(
+            stage, out_hbm.at[t, pl.ds(b * block, block), :], sem_out
+        )
+        cp.start()
+        cp.wait()
+        return 0
+
+    lax.fori_loop(0, n_blk, out_block, 0)
+
+
+@partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
+                                   "nested", "interpret"))
+def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
+                        max_sweeps: int = 256, nested: bool = True,
+                        interpret: bool = False):
+    """Label every mask of a nested (T, H, W) bool stack in one kernel.
+
+    Equivalent to ``[connected_components(opened[i]) for i in range(T)]``
+    (bit-identical labels) with the whole stack's sweeps fused into a single
+    dispatched program. ``nested=True`` warm-starts level i+1 from level i's
+    labels and REQUIRES ``opened[i] ⊆ opened[i+1]``; pass ``nested=False``
+    for independent masks (each level then relaxes from scratch).
+    """
+    t_count, h, w = opened.shape
+    w_pad = ((w + 127) // 128) * 128
+    n_blk = -(-h // block)
+    h_blk = n_blk * block
+
+    op = jnp.pad(opened, ((0, 0), (0, h_blk - h), (0, w_pad - w)))
+    op = op.astype(jnp.int32)
+
+    kern = partial(_kernel, t_count=t_count, n_blk=n_blk, block=block,
+                   h=h, w=w, w_pad=w_pad, connectivity=connectivity,
+                   max_sweeps=max_sweeps, nested=nested, interpret=interpret)
+    out = pl.pallas_call(
+        kern,
+        grid=(t_count,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((t_count, h_blk, w_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h_blk + 2 * HALO, w_pad), jnp.int32),   # labels
+            pltpu.VMEM((block, w_pad), jnp.int32),              # mask slab
+            pltpu.VMEM((block, w_pad), jnp.int32),              # out staging
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(op)
+    return out[:, :h, :w]
