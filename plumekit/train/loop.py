@@ -30,6 +30,7 @@ def train(
     checkpoint: bool = True,
     weak_labels: bool = False,
     curated_dir: Optional[str] = None,
+    datasets=None,
 ) -> Dict[str, List[float]]:
     """Run the supervised loop; returns metric history. With a mesh config,
     the batch shards over ``data`` across devices (config 4).
@@ -63,7 +64,12 @@ def train(
                               label_smooth=train_cfg.label_smooth)
     eval_fn = make_eval_step()
 
-    if curated_dir:
+    if datasets is not None:
+        # explicit (train_set, eval_set) GranuleSample lists — the
+        # experiment harness path (e.g. curated-vs-weak label studies where
+        # the dev set carries ground truth)
+        train_set, eval_set = datasets
+    elif curated_dir:
         from plumekit.train.curated import make_curated_dataset
 
         samples = make_curated_dataset(curated_dir)

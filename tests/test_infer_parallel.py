@@ -130,3 +130,37 @@ def test_sharded_infer_matches_unsharded(model_and_vars):
     # shard seams (y=32, x=32/64/96) sit in the compared interior: row 32
     # crossing must be smooth/exact
     np.testing.assert_allclose(p[28:36, r:-r], d[28:36, r:-r], atol=1e-4)
+
+
+def test_sliding_stitch_parity_class_fast_path():
+    """The regular-grid parity-class assembly must reproduce a known global
+    function exactly: with a pointwise apply, every tile agrees on overlaps,
+    so the blend must return the function itself — for regular grids,
+    clamped grids (internal edge padding), sub-tile images (general path),
+    and deep overlaps (general path)."""
+    import jax.numpy as jnp
+
+    from plumekit.config.train import InferConfig
+    from plumekit.infer import make_sliding_infer
+
+    def apply_fn(variables, tiles, train=False):
+        return (tiles[..., 0:1] * 2.0 - 1.0).astype(jnp.float32)
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (64, 16, (176, 176)),   # exact grid: 176 = 64 + 2*56? no — clamped
+        (64, 16, (160, 208)),   # 160 = 64+2*48: regular in rows
+        (64, 16, (70, 90)),     # clamped both axes
+        (64, 40, (128, 128)),   # overlap > stride -> general path
+    ]
+    for tile, overlap, (h, w) in cases:
+        infer = make_sliding_infer(
+            apply_fn, InferConfig(tile_size=tile, overlap=overlap,
+                                  batch_tiles=3), channels=2)
+        img = rng.random((h, w, 2)).astype(np.float32)
+        probs, mask = infer({}, jnp.asarray(img))
+        expect = 1.0 / (1.0 + np.exp(-(img[..., 0] * 2.0 - 1.0)))
+        np.testing.assert_allclose(np.asarray(probs), expect, atol=2e-6,
+                                   err_msg=f"tile={tile} ov={overlap} "
+                                           f"hw={(h, w)}")
+        assert mask.shape == (h, w)
