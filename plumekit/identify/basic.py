@@ -20,7 +20,7 @@ from jax import lax
 from plumekit.config.identify import BasicIdentifyConfig
 from plumekit.identify.locate import locate_fires_in_image, pad_fires
 from plumekit.io.fires import subset_fires_to_image
-from plumekit.ops.ccl import connected_components, component_sizes
+from plumekit.ops.ccl import connected_components
 from plumekit.ops.morphology import binary_opening_cross
 from plumekit.ops.segment import label_window_nearest, masked_bbox
 from plumekit.ops.cluster import mean_cluster_positions
@@ -55,8 +55,14 @@ def _make_program(cfg: BasicIdentifyConfig):
 
         mask = aod >= cfg.aod_min_limit
         opened = binary_opening_cross(mask)
-        labels = connected_components(opened, connectivity=2)
-        sizes = component_sizes(labels)
+        from plumekit.identify.pipeline import _ccl_backend
+
+        if _ccl_backend() == "pallas":
+            from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
+
+            labels = multi_threshold_ccl(opened[None], nested=False)[0]
+        else:
+            labels = connected_components(opened, connectivity=2)
 
         lab_f, found = jax.vmap(
             lambda r, c: label_window_nearest(labels, r, c, w)
@@ -70,7 +76,10 @@ def _make_program(cfg: BasicIdentifyConfig):
         )
         keep_f = live & (counts < 2)
 
-        area_f = sizes[jnp.where(live, lab_f, 0)]
+        # per-fire component size as a fused masked count (the former
+        # H·W+1-segment size map lowers to a giant scatter on TPU)
+        area_f = jnp.sum(labels[None, :, :] == lab_eff[:, None, None],
+                         axis=(1, 2), dtype=jnp.int32)
         keep_f &= area_f <= cfg.max_plume_pixels
         keep_f &= area_f >= cfg.min_plume_pixels
 
