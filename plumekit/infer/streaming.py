@@ -71,13 +71,22 @@ def stream_inference(
     depth: int,
     buffer_size: int = 2,
     fire_locator=None,
-    decode_workers: int = 4,
+    decode_workers: Optional[int] = None,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
     stream: a ``decode_workers``-thread pool decodes granules in parallel
     (ordered), a stager thread transfers them to HBM ``buffer_size`` ahead,
     and the device computes on the current one. Yields (granule_name, probs
-    cropped to the original shape)."""
+    cropped to the original shape).
+
+    ``decode_workers=None`` sizes the pool to the host: ``cpu_count - 1``
+    capped at 4, minimum 1. Measured on the 1-core tunnel host: a 4-thread
+    pool is pure contention (0.77× vs serial) while single-thread prefetch
+    reaches 2.10×; the pool pays off only with real decode parallelism."""
+    if decode_workers is None:
+        import os
+
+        decode_workers = max(1, min(4, (os.cpu_count() or 1) - 1))
 
     def put(item):
         name, channels, hw = item
