@@ -101,12 +101,10 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     ``plume_identifier_gaussian_profile.py:482-483``) packed into fixed (F,)
     arrays with a validity mask.
     """
-    import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from plumekit.ops.ccl import (component_sizes, connected_components,
-                                  remove_small_components)
+    from plumekit.ops.ccl import connected_components
 
     h, w = shape
     grid = jnp.zeros((h, w), dtype=bool)
@@ -114,31 +112,40 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     safe_c = jnp.where(valid, cols, 0)
     grid = grid.at[safe_r, safe_c].set(valid, mode="drop")
 
-    labels = connected_components(grid, connectivity=2)
-    labels = remove_small_components(labels, min_size)
+    from plumekit.identify.pipeline import _ccl_backend
+
+    if _ccl_backend() == "pallas":
+        from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
+
+        labels = multi_threshold_ccl(grid[None], nested=False)[0]
+    else:
+        labels = connected_components(grid, connectivity=2)
 
     fire_labels = jnp.where(valid, labels[safe_r, safe_c], 0)
-    alive = fire_labels != 0
+
+    # everything per-FIRE as fused masked reductions over the label image —
+    # no H·W+1-segment scatters, no per-label gathers (only the ≤F labels
+    # that carry fires are ever needed)
+    lab_eff = jnp.where(fire_labels != 0, fire_labels, -1)
+    on = labels[None, :, :] == lab_eff[:, None, None]          # (F, H, W)
+    cnt = jnp.sum(on, axis=(1, 2), dtype=jnp.int32)
+    rr = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    sum_r = jnp.sum(jnp.where(on, rr[None], 0), axis=(1, 2))
+    sum_c = jnp.sum(jnp.where(on, cc[None], 0), axis=(1, 2))
+
+    # remove_small_objects(min_size) applied per fire's cluster
+    alive = (fire_labels != 0) & (cnt >= min_size)
     # first-occurrence dedup over the (small) fire capacity axis
     eq = fire_labels[:, None] == fire_labels[None, :]
     earlier = jnp.tril(eq, k=-1).any(axis=1)
     is_rep = alive & ~earlier
 
-    # per-component coordinate sums: three segment reductions over the image
-    # (addressable by label value, like component_sizes) replace the former
-    # per-fire full-image scan — O(H·W), not O(F·H·W)
-    flat = labels.reshape(-1)
-    rr = lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
-    cc = lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
-    sum_r = jax.ops.segment_sum(rr, flat, num_segments=h * w + 1)
-    sum_c = jax.ops.segment_sum(cc, flat, num_segments=h * w + 1)
-    sizes = component_sizes(labels)
-
-    n = jnp.maximum(sizes[fire_labels], 1)
+    n = jnp.maximum(cnt, 1)
     # float mean then truncation — the reference's ``.astype(int)`` of the
     # centroid (``plume_identifier_gaussian_profile.py:482-483``)
-    cr = (sum_r[fire_labels] / n).astype(jnp.int32)
-    ccol = (sum_c[fire_labels] / n).astype(jnp.int32)
+    cr = (sum_r / n).astype(jnp.int32)
+    ccol = (sum_c / n).astype(jnp.int32)
     return (
         jnp.where(is_rep, cr, 0),
         jnp.where(is_rep, ccol, 0),
