@@ -20,6 +20,7 @@ import json
 import time
 
 import numpy as np
+import pandas as pd
 
 p = argparse.ArgumentParser()
 p.add_argument("--granules", type=int, default=60)
@@ -66,28 +67,45 @@ def build_datasets():
         ))
         g = scene.granule
         date = scene.fires.date_time.iloc[0]
-        _aod_df, hull_df, out = rg_mod.identify(
+        _aod_df, _hull_df, out = rg_mod.identify(
             g.first_layer(), g.lat, g.lon, date, scene.fires, identify_cfg
         )
         sample = scene_to_sample(scene)
         gt = scene.gt_mask
 
+        # build the kept set and its hull rows directly from the device
+        # masks (hull_df ids are a compacted counter over hull-valid
+        # accepted fires, NOT fire indices — indexing it by fire index
+        # would rasterise the wrong plumes)
+        from plumekit.ops.geometry import convex_hull_vertices_host
+
         weak = np.zeros(g.shape, np.float32)
-        keep_ids = []
+        hull_rows = []
         for f in np.nonzero(out["accepted"])[0]:
             m = out["mask"][f]
             weak[m] = 1.0
             # curation proxy: a human keeps plumes that look right —
             # modelled as ≥50% of the mask lying on true plume
             if m.sum() and (m & gt).sum() / m.sum() >= 0.5:
-                keep_ids.append(int(f))
                 kept += 1
+                ys, xs = np.nonzero(m)
+                if ys.size < 3:
+                    continue
+                pts = np.column_stack([ys, xs])
+                try:
+                    verts = convex_hull_vertices_host(pts)
+                except Exception:
+                    continue
+                hull_rows.append(pd.DataFrame({
+                    "id": int(f), "hull_x": pts[verts, 1],
+                    "hull_y": pts[verts, 0],
+                }))
             else:
                 dropped += 1
         weak_set.append(GranuleSample(channels=sample.channels, mask=weak))
 
-        if len(hull_df) and keep_ids:
-            kept_df = hull_df[hull_df.id.isin(keep_ids)]
+        if hull_rows:
+            kept_df = pd.concat(hull_rows, ignore_index=True)
             cur = rasterize_hulls(kept_df, g.shape).astype(np.float32)
         else:
             cur = np.zeros(g.shape, np.float32)

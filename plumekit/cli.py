@@ -81,7 +81,7 @@ def cmd_resample_viirs(args) -> int:
                                    write_quicklooks, write_reprojected_h5)
 
     paths = PathsConfig(root=args.root)
-    sdr_dir = paths.resolve("viirs_sdr_dir")
+    sdr_dir = paths.ensure("viirs_sdr_dir")
     h5_dir = paths.ensure("viirs_sdr_reproj_h5_dir")
     n_done = 0
     for fname in sorted(os.listdir(sdr_dir)):
@@ -128,11 +128,15 @@ def cmd_build_features(args) -> int:
     from plumekit.train.checkpoint import WorkLog
 
     paths = PathsConfig(root=args.root)
-    maiac_dir = paths.resolve("maiac_dir")
+    maiac_dir = paths.ensure("maiac_dir")
     log = WorkLog(os.path.join(paths.ensure("log_dir"),
                                f"{args.detector}_log.txt"))
-    fire_df = load_fire_csv(os.path.join(paths.resolve("fires_dir"),
-                                         "fires.csv"))
+    fire_csv = os.path.join(paths.resolve("fires_dir"), "fires.csv")
+    if not os.path.exists(fire_csv):
+        logger.error("no fire table at %s — run 'plumekit make_dataset' "
+                     "or place a VIIRS fire CSV there", fire_csv)
+        return 1
+    fire_df = load_fire_csv(fire_csv)
     aod_dir = paths.ensure("aod_df_dir")
     hull_dir = paths.ensure("hull_df_dir")
 
@@ -294,7 +298,7 @@ def cmd_predict_model(args) -> int:
 
     out_dir = os.path.join(args.root, "processed", "predictions")
     os.makedirs(out_dir, exist_ok=True)
-    maiac_dir = paths.resolve("maiac_dir")
+    maiac_dir = paths.ensure("maiac_dir")
     granule_paths = [
         os.path.join(maiac_dir, f)
         for f in sorted(os.listdir(maiac_dir))
@@ -353,8 +357,8 @@ def cmd_select(args) -> int:
     from plumekit.label import export_review_batch, apply_decisions
 
     paths = PathsConfig(root=args.root)
-    hull_dir = paths.resolve("hull_df_dir")
-    maiac_dir = paths.resolve("maiac_dir")
+    hull_dir = paths.ensure("hull_df_dir")
+    maiac_dir = paths.ensure("maiac_dir")
     for fname in sorted(os.listdir(hull_dir)):
         if not fname.endswith("_extent.csv"):
             continue

@@ -20,7 +20,7 @@ from jax import lax
 from plumekit.config.identify import BasicIdentifyConfig
 from plumekit.identify.locate import locate_fires_in_image, pad_fires
 from plumekit.io.fires import subset_fires_to_image
-from plumekit.ops.ccl import connected_components
+from plumekit.ops.ccl import ccl_backend, connected_components
 from plumekit.ops.morphology import binary_opening_cross
 from plumekit.ops.segment import label_window_nearest, masked_bbox
 from plumekit.ops.cluster import mean_cluster_positions
@@ -55,9 +55,7 @@ def _make_program(cfg: BasicIdentifyConfig):
 
         mask = aod >= cfg.aod_min_limit
         opened = binary_opening_cross(mask)
-        from plumekit.identify.pipeline import _ccl_backend
-
-        if _ccl_backend() == "pallas":
+        if ccl_backend() == "pallas":
             from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
 
             labels = multi_threshold_ccl(opened[None], nested=False)[0]

@@ -92,7 +92,9 @@ def identify_layer(
     min_id = 0
     null_j = jnp.asarray(null_mask)
     for thresholds in cfg.threshold_sets():
-        thr = jnp.asarray(np.asarray(thresholds, np.float32))
+        from plumekit.identify.pipeline import validate_descending_thresholds
+
+        thr = jnp.asarray(validate_descending_thresholds(thresholds))
         out = fn(aod_i, aod_i, null_j, thr, cr, cc, cvalid)
         out = {k: np.asarray(v) for k, v in out.items()}
         _, hull_df = build_scene_dataframes(out, lat, lon, dedup=False)

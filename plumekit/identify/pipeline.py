@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from plumekit.ops.ccl import connected_components
+from plumekit.ops.ccl import ccl_backend, connected_components
 from plumekit.ops.morphology import binary_opening_cross, binary_dilation_square
 from plumekit.ops.segment import (
     label_window_nearest,
@@ -72,14 +72,18 @@ class SweepStatics:
     dilate_plume_px: int = 0     # gaussian buffers final mask by 5x5
 
 
-def _ccl_backend() -> str:
-    """'pallas' on real TPU backends, 'xla' on cpu/gpu or when forced via
-    ``PLUMEKIT_CCL=xla`` (escape hatch; both paths are bit-identical)."""
-    import os
-
-    if os.environ.get("PLUMEKIT_CCL", "") == "xla":
-        return "xla"
-    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+def validate_descending_thresholds(thresholds) -> np.ndarray:
+    """The sweep's warm-started CCL (both the XLA scan and the Pallas
+    kernel) requires *strictly descending* thresholds so the opened masks
+    nest; a non-monotone user-supplied tuple would silently produce wrong
+    labels. Called by every detector before entering the jitted program."""
+    t = np.asarray(thresholds, dtype=np.float32)
+    if t.ndim != 1 or t.size < 2 or not np.all(np.diff(t) < 0):
+        raise ValueError(
+            "threshold sweep requires >=2 strictly descending thresholds "
+            f"(nested-mask invariant of the warm-started CCL); got {t!r}"
+        )
+    return t
 
 
 def _threshold_index(extents, reject_last: bool):
@@ -233,7 +237,7 @@ def make_sweep_identifier(statics: SweepStatics):
         # ONE Pallas program with the label image resident in VMEM — the
         # XLA expansion pays ~45 µs of relay dispatch per op × ~550 ops per
         # sweep (1.6 s/scene at 1200²); the kernel does it in ~40 ms.
-        if _ccl_backend() == "pallas":
+        if ccl_backend() == "pallas":
             from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
 
             labels_all = multi_threshold_ccl(opened, connectivity=2)

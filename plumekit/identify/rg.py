@@ -78,7 +78,9 @@ def identify(
         )
 
     f_rows, f_cols, f_valid = pad_fires(rows, cols, cfg.max_fires)
-    thresholds = np.asarray(cfg.thresholds, dtype=np.float32)
+    from plumekit.identify.pipeline import validate_descending_thresholds
+
+    thresholds = validate_descending_thresholds(cfg.thresholds)
 
     fn = cached_sweep_identifier(_statics(cfg))
     aod_j = jnp.asarray(aod, dtype=jnp.float32)

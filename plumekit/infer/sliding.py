@@ -55,16 +55,22 @@ def make_sliding_infer(
     jitted per image shape. ``apply_fn(variables, batch, train=False)`` must
     return (B, t, t, 1) logits.
 
-    Stitching has two paths. When the tile grid is *exact* (no clamped last
-    tile, overlap ≤ stride) the canvas is assembled from the four tile
-    parity classes (even/odd grid row × col): tiles within a class are
-    disjoint on the canvas (pitch 2·stride ≥ tile), so each class is one
-    pad→transpose→reshape embed — ~27 ops total instead of 3 ops *per tile*.
-    On the tunneled TPU each executed op costs ~45 µs of dispatch, so this
-    is the difference between stitching being free and stitching rivalling
-    the forward pass (VERDICT round-2 item 4). Irregular grids keep the
-    sequential dynamic_update_slice scan (a single big scatter-add measured
-    1.5× slower)."""
+    Stitching has two paths. Whenever overlap ≤ stride and the image is at
+    least one tile, the image is edge-padded onto the stride lattice and
+    the canvas is assembled from the four tile parity classes (even/odd
+    grid row × col): tiles within a class are disjoint on the canvas
+    (pitch 2·stride ≥ tile), so each class is one pad→transpose→reshape
+    embed — ~27 ops total instead of 3 ops *per tile*. On the tunneled TPU
+    each executed op costs ~45 µs of dispatch, so this is the difference
+    between stitching being free and stitching rivalling the forward pass.
+    NOTE a deliberate semantic change vs the round-1 clamped grid: the last
+    row/col of tiles now read edge-REPLICATED pixels beyond the true image
+    instead of a clamped flush tile of real data, so predictions within one
+    overlap band of the bottom/right edges can differ slightly (the same
+    replication `pad_to_multiple` already applies upstream). Deep overlaps
+    (> stride) and sub-tile images keep the sequential
+    dynamic_update_slice scan (a single big scatter-add measured 1.5×
+    slower)."""
     tile = cfg.tile_size
     stride = tile - cfg.overlap
 

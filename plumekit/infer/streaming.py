@@ -16,10 +16,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from plumekit.io.granule import Granule, NULL_VALUE, load_granule
+from plumekit.io.granule import Granule, load_granule
 from plumekit.io.prefetch import decode_pool, device_prefetch
 from plumekit.infer.sliding import pad_to_multiple
-from plumekit.train.data import fire_channel
 from plumekit.utils import get_logger
 
 logger = get_logger(__name__)
@@ -33,13 +32,11 @@ def decode_granule_channels(
     """Decode one granule to a model-ready (H', W', 2) channel stack (padded
     to the U-Net divisibility). Pure host work — safe to run on pool
     threads (npz inflate / h5 decode release the GIL)."""
+    from plumekit.train.data import assemble_channels
+
     granule = load_granule(path)
-    aod = granule.first_layer().copy()
-    aod[aod == NULL_VALUE] = 0.0
     rows, cols = fire_locator(granule) if fire_locator else ([], [])
-    channels = np.stack(
-        [aod, fire_channel(aod.shape, rows, cols)], axis=-1
-    ).astype(np.float32)
+    channels = assemble_channels(granule.first_layer(), rows, cols)
     padded, hw = pad_to_multiple(channels, 2**depth)
     return granule.name, padded, hw
 

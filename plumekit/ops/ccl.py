@@ -38,6 +38,16 @@ from jax import lax
 #: background value in returned label images
 BACKGROUND = 0
 
+
+def ccl_backend() -> str:
+    """'pallas' on real TPU backends, 'xla' on cpu/gpu or when forced via
+    ``PLUMEKIT_CCL=xla`` (escape hatch; both paths are bit-identical)."""
+    import os
+
+    if os.environ.get("PLUMEKIT_CCL", "") == "xla":
+        return "xla"
+    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 

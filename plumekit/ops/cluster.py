@@ -104,7 +104,7 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     import jax.numpy as jnp
     from jax import lax
 
-    from plumekit.ops.ccl import connected_components
+    from plumekit.ops.ccl import ccl_backend, connected_components
 
     h, w = shape
     grid = jnp.zeros((h, w), dtype=bool)
@@ -112,9 +112,7 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     safe_c = jnp.where(valid, cols, 0)
     grid = grid.at[safe_r, safe_c].set(valid, mode="drop")
 
-    from plumekit.identify.pipeline import _ccl_backend
-
-    if _ccl_backend() == "pallas":
+    if ccl_backend() == "pallas":
         from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
 
         labels = multi_threshold_ccl(grid[None], nested=False)[0]

@@ -26,8 +26,8 @@ import numpy as np
 import pandas as pd
 
 from plumekit.config import PathsConfig
-from plumekit.io.granule import NULL_VALUE, Granule, load_granule
-from plumekit.train.data import GranuleSample, fire_channel
+from plumekit.io.granule import Granule, load_granule
+from plumekit.train.data import GranuleSample
 from plumekit.utils import get_logger
 
 logger = get_logger(__name__)
@@ -74,9 +74,10 @@ def granule_to_channels(granule: Granule, ts: str,
     from plumekit.identify.locate import locate_fires_in_image
     from plumekit.io.fires import subset_fires_to_image
 
+    from plumekit.train.data import assemble_channels
+
     aod = (granule.layers[ts] if ts in granule.layers
-           else granule.first_layer()).copy()
-    aod[aod == NULL_VALUE] = 0.0
+           else granule.first_layer())
     rows: np.ndarray = np.zeros(0, np.int32)
     cols: np.ndarray = np.zeros(0, np.int32)
     if fire_df is not None and len(fire_df):
@@ -86,8 +87,7 @@ def granule_to_channels(granule: Granule, ts: str,
             sub.latitude.to_numpy(), sub.longitude.to_numpy(),
             granule.lat, granule.lon, win_half=0, edge_margin=0,
         )
-    fire = fire_channel(aod.shape, rows, cols)
-    return np.stack([aod, fire], axis=-1).astype(np.float32)
+    return assemble_channels(aod, rows, cols)
 
 
 def build_model_data(
@@ -102,8 +102,8 @@ def build_model_data(
     from plumekit.io.dates import granule_date
     from plumekit.io.fires import load_fire_csv
 
-    reduced_dir = paths.resolve("reduced_plume_hull_dir")
-    maiac_dir = paths.resolve("maiac_dir")
+    reduced_dir = paths.ensure("reduced_plume_hull_dir")
+    maiac_dir = paths.ensure("maiac_dir")
     out_dir = out_dir or paths.ensure("model_data_dir")
     fire_df = None
     if fire_csv is None:

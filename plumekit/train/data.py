@@ -42,11 +42,20 @@ def fire_channel(shape, rows, cols, sigma: float = 2.0) -> np.ndarray:
     return grid
 
 
+def assemble_channels(aod: np.ndarray, rows, cols) -> np.ndarray:
+    """THE model input contract: (H, W, 2) float32 of [AOD with nulls
+    zeroed, normalised fire-density]. Every consumer (synthetic training,
+    curated training, streaming inference) builds its channels here so the
+    input bands can never silently diverge."""
+    aod = aod.copy()
+    aod[aod == NULL_VALUE] = 0.0
+    fire = fire_channel(aod.shape, rows, cols)
+    return np.stack([aod, fire], axis=-1).astype(np.float32)
+
+
 def scene_to_sample(scene, normalize: bool = True) -> GranuleSample:
     """Synthetic scene → (AOD, fire) channels + GT mask. Null pixels are
     zeroed in the AOD channel (the model sees physical AOD ∈ [0, ~2])."""
-    aod = scene.granule.first_layer().copy()
-    aod[aod == NULL_VALUE] = 0.0
     lat, lon = scene.granule.lat, scene.granule.lon
     # fire pixels from the fire table (nearest grid cell by construction)
     rows, cols = [], []
@@ -55,8 +64,7 @@ def scene_to_sample(scene, normalize: bool = True) -> GranuleSample:
         idx = np.unravel_index(np.argmin(d2), lat.shape)
         rows.append(idx[0])
         cols.append(idx[1])
-    fire = fire_channel(aod.shape, rows, cols)
-    channels = np.stack([aod, fire], axis=-1).astype(np.float32)
+    channels = assemble_channels(scene.granule.first_layer(), rows, cols)
     return GranuleSample(channels=channels,
                          mask=scene.gt_mask.astype(np.float32))
 

@@ -9,6 +9,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from plumekit.config.train import DataConfig, MeshConfig, TrainConfig, UNetConfig
@@ -125,6 +126,7 @@ def train(
     t0 = time.perf_counter()
     px_per_step = train_cfg.batch_size * train_cfg.tile_size**2
     best_dev, best_step, misses = -1.0, -1, 0
+    best_state = None
     for step_i in range(start_step, train_cfg.total_steps):
         xs, ys = next(batches)
         if mesh is not None:
@@ -157,9 +159,9 @@ def train(
             history["eval_iou_curve"].append(dev)
             if dev > best_dev:
                 best_dev, best_step, misses = dev, step_i + 1, 0
-                if checkpoint:
-                    save_checkpoint(train_cfg.checkpoint_dir, state,
-                                    step_i + 1)
+                # deep copy: the jitted step donates its input state, so a
+                # bare reference would alias buffers invalidated next step
+                best_state = jax.tree_util.tree_map(jnp.copy, state)
             else:
                 misses += 1
             logger.info("dev IoU %.3f @ step %d (best %.3f @ %d)",
@@ -170,6 +172,16 @@ def train(
                             misses)
                 break
 
+    if train_cfg.eval_every and best_state is not None:
+        # the whole point of tracking the peak is SERVING the peak: the
+        # returned metrics and the checkpoint downstream consumers restore
+        # (latest_step = max step) must both be the best state, not the
+        # degraded post-peak one
+        state = best_state
+        if checkpoint:
+            save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1)
+        logger.info("restored best dev state (step %d, IoU %.3f)",
+                    best_step, best_dev)
     history["eval_iou"].append(dev_iou(state))
     if train_cfg.eval_every:
         history["best_dev_iou"] = [best_dev]

@@ -88,7 +88,7 @@ def test_kernel_non_nested_flag():
 
 def test_pipeline_xla_fallback_env(monkeypatch):
     """PLUMEKIT_CCL=xla forces the scan path (escape hatch)."""
-    from plumekit.identify import pipeline
+    from plumekit.ops.ccl import ccl_backend
 
     monkeypatch.setenv("PLUMEKIT_CCL", "xla")
-    assert pipeline._ccl_backend() == "xla"
+    assert ccl_backend() == "xla"
