@@ -1,4 +1,5 @@
-.PHONY: requirements data features train predict clean lint test bench help
+.PHONY: requirements data features train predict select model_data \
+	viirs clean lint test bench help
 
 PYTHON_INTERPRETER = python
 ROOT ?= data
@@ -23,6 +24,18 @@ train:
 ## Full-granule inference
 predict:
 	$(PYTHON_INTERPRETER) -m plumekit.cli predict_model --root $(ROOT)
+
+## Stage plume curation artifacts for human review
+select:
+	$(PYTHON_INTERPRETER) -m plumekit.cli select --root $(ROOT)
+
+## Curated hulls -> model-ready training samples
+model_data:
+	$(PYTHON_INTERPRETER) -m plumekit.cli prepare_model_data --root $(ROOT)
+
+## Reproject VIIRS SDR swaths onto UTM grids
+viirs:
+	$(PYTHON_INTERPRETER) -m plumekit.cli resample_viirs --root $(ROOT) --quicklooks
 
 ## Delete compiled python files (reference Makefile:36-38)
 clean:
