@@ -1,0 +1,81 @@
+"""On-chip assertions, skipped unless the session runs on a real TPU.
+
+The main suite forces the CPU backend (conftest), so the Mosaic-compiled
+paths are exercised here behind ``PLUMEKIT_RUN_TPU=1`` — run occasionally
+on the tunneled chip:
+
+    PLUMEKIT_RUN_TPU=1 python -m pytest tests/test_tpu_only.py -q -p no:cacheprovider --noconftest
+
+(``--noconftest`` so the CPU-forcing fixture does not apply.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PLUMEKIT_RUN_TPU") != "1",
+    reason="on-chip tests; set PLUMEKIT_RUN_TPU=1 and run with --noconftest",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() in ("cpu", "gpu"):
+        pytest.skip("no TPU backend in this session")
+    return jax
+
+
+def test_ccl_kernel_parity_on_chip(tpu):
+    """Mosaic-compiled multi-threshold CCL == XLA labels at a realistic
+    percolation mix (the compile is cached from the benchmarks)."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from plumekit.ops.ccl import connected_components
+    from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
+
+    rng = np.random.default_rng(0)
+    field = ndimage.gaussian_filter(
+        rng.random((640, 600)).astype(np.float32), 1.0)
+    ths = np.quantile(field, [0.9, 0.55, 0.5, 0.45, 0.2])
+    opened = np.stack([field > t for t in ths])
+    got = np.asarray(multi_threshold_ccl(jnp.asarray(opened)))
+    for i in range(len(ths)):
+        ref = np.asarray(connected_components(jnp.asarray(opened[i]),
+                                              connectivity=2))
+        np.testing.assert_array_equal(got[i], ref)
+
+
+def test_fused_conv_parity_on_chip(tpu):
+    """Mosaic-compiled fused double conv == XLA taps (bf16 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plumekit.models.pallas.fused_conv import (
+        conv3x3_bn_relu_xla, fused_double_conv3x3_bn_relu)
+
+    rng = np.random.default_rng(1)
+    c = 128
+    x = jnp.asarray(rng.standard_normal((1, 32, 36, c)), jnp.bfloat16)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((3, 3, c, c)), jnp.bfloat16)
+    w2 = jnp.asarray(0.1 * rng.standard_normal((3, 3, c, c)), jnp.bfloat16)
+    s1 = jnp.ones((c,), jnp.bfloat16)
+    b1 = jnp.zeros((c,), jnp.bfloat16)
+    got = fused_double_conv3x3_bn_relu(x, w1, s1, b1, w2, s1, b1)
+    ref = conv3x3_bn_relu_xla(conv3x3_bn_relu_xla(x, w1, s1, b1), w2, s1, b1)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.25, rtol=0.1)  # bf16 accumulation-order tolerance
+    corr = np.corrcoef(np.asarray(got, np.float32).ravel(),
+                       np.asarray(ref, np.float32).ravel())[0, 1]
+    assert corr > 0.9999
