@@ -118,7 +118,7 @@ def _threshold_index(extents, reject_last: bool):
     return argmax.astype(jnp.int32), has
 
 
-def make_sweep_identifier(statics: SweepStatics):
+def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
     """Build the jitted sweep program for a given static configuration.
 
     Returns ``fn(aod, raw_aod, null_mask, thresholds, fire_rows, fire_cols,
@@ -349,6 +349,8 @@ def make_sweep_identifier(statics: SweepStatics):
                 ret[k] = res[k]
         return ret
 
+    if not jit:
+        return fn
     return jax.jit(fn)
 
 
