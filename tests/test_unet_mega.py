@@ -1,0 +1,67 @@
+"""The U-Net forward megakernel vs the flax reference apply.
+
+Interpret-mode parity on the CPU backend (the suite-wide conftest forces
+CPU); the Mosaic-compiled path is asserted on-chip in test_tpu_only.py.
+Covers the geometry generality the kernel claims: alternating depths,
+non-square tiles, and the shallow-level staged-im2col vs deep-level
+per-tap paths (reference: the model layer the upstream repo promises but
+does not ship — reference ``README.md:1-4``, empty ``src/models/``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plumekit.config.train import UNetConfig
+from plumekit.models import UNet
+from plumekit.models.pallas.unet_mega import make_mega_apply, mega_eligible
+
+
+def _variables(model, rng, x):
+    variables = model.init(rng, x, train=False)
+    # nontrivial running statistics so folded BN is exercised
+    bs = jax.tree.map(
+        lambda a: a + 0.3 * jax.random.normal(
+            jax.random.fold_in(rng, a.size), a.shape, a.dtype) ** 2,
+        variables["batch_stats"])
+    return {"params": variables["params"], "batch_stats": bs}
+
+
+@pytest.mark.parametrize(
+    "h,w,depth,feats",
+    [(32, 32, 2, 8),      # shallowest: every level staged im2col
+     (64, 48, 3, 8),      # non-square, odd-period levels
+     (64, 64, 4, 8)])     # flagship depth
+def test_mega_matches_flax(h, w, depth, feats):
+    cfg = UNetConfig(in_channels=2, base_features=feats, depth=depth,
+                     norm="batch", compute_dtype="bfloat16")
+    assert mega_eligible(cfg, h, w)
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, h, w, 2), jnp.float32)
+    variables = _variables(model, rng, x)
+
+    ref = np.asarray(model.apply(variables, x, train=False), np.float32)
+    got = np.asarray(make_mega_apply(cfg)(variables, x), np.float32)
+    err = np.abs(ref - got).max() / np.abs(ref).max()
+    assert err < 0.05, f"relative error {err:.4f}"
+
+
+def test_mega_eligibility_gates():
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=4, norm="batch")
+    assert not mega_eligible(cfg, 24, 64)        # 24 % 16 != 0
+    assert not mega_eligible(cfg, 16, 16)        # 1-px bottleneck
+    g = UNetConfig(in_channels=2, base_features=8, depth=2, norm="group")
+    assert not mega_eligible(g, 64, 64)          # needs folded BatchNorm
+
+
+def test_mega_rejects_training():
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2, norm="batch")
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 32, 32, 2), jnp.float32)
+    variables = _variables(model, rng, x)
+    with pytest.raises(ValueError):
+        make_mega_apply(cfg)(variables, x, train=True)
