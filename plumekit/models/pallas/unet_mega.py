@@ -204,7 +204,7 @@ def _stage3(ref, plane, n_rows: int):
 
 
 def _double_conv(lvl: _Lvl, sources1, s1, b1, w2_ref, s2, b2, w_ref,
-                 dtype, *, want_f32: bool = False):
+                 dtype, *, want_f32: bool = False, emit_mid=None):
     """(conv3x3 + folded-BN + ReLU) × 2 on an embedded plane.
 
     ``sources1``: conv1 tap sources (encoder: one; decoder: skip + up).
@@ -224,7 +224,15 @@ def _double_conv(lvl: _Lvl, sources1, s1, b1, w2_ref, s2, b2, w_ref,
     a_i = q // P - 1
     b_i = q % P - 1
     ok = (a_i >= 0) & (a_i < lead) & (b_i >= 0) & (b_i < sub)
-    inter = jnp.where(ok, inter, 0.0).astype(dtype)
+    # arithmetic mask, not jnp.where: broadcasting a (n, 1) i1 vector
+    # against (n, C) takes Mosaic through the replicated-lane relayout
+    # that misbehaves on v5e (crash in _upsample; silent sparse corruption
+    # here, found by the stage bisect). Pre-mask values are finite, so
+    # multiply-by-{0,1} is exact.
+    inter = (inter * ok.astype(jnp.float32)).astype(dtype)
+    if emit_mid is not None:        # debug cut: emit conv1, skip conv2
+        emit_mid(inter)
+        return None
 
     g2 = _group(lvl.cmid)
     if g2 == 1:
@@ -237,22 +245,47 @@ def _double_conv(lvl: _Lvl, sources1, s1, b1, w2_ref, s2, b2, w_ref,
         acc2 * s2[:].astype(jnp.float32) + b2[:].astype(jnp.float32), 0.0)
     q = _iota_col(m_body)
     ok = (q % P < sub) & (q // P < lead)
-    body = jnp.where(ok, body, 0.0)
+    body = body * ok.astype(jnp.float32)   # same relayout hazard as above
     return body if want_f32 else body.astype(dtype)
 
 
-def _assemble(pieces, lvl: _Lvl, n_rows_mid: int, dtype):
-    """Concatenate ring + body pieces into a full embedded plane value."""
-    top = jnp.zeros((2 * lvl.period, pieces[0].shape[-1]), dtype)
-    bot = jnp.zeros((lvl.flat - 2 * lvl.period - n_rows_mid,
-                     pieces[0].shape[-1]), dtype)
-    return jnp.concatenate([top] + pieces + [bot], axis=0)
+def _assemble(pieces, lvl: _Lvl, dtype):
+    """Concatenate ring + piece values into a full embedded plane value.
+
+    DEBUG-ONLY (dbg emits): storing or slicing a multi-piece concatenated
+    value corrupts scattered sublane tiles near internal seams on v5e
+    Mosaic (found by the on-chip stage bisect: the staged-reload planes
+    diverged while the directly-emitted value was exact, with ≥4-piece
+    concats affected and 2-piece ones not). The compute path therefore
+    never builds this value — pieces are stored individually
+    (:func:`_store_pieces`)."""
+    c = pieces[0][1].shape[-1]
+    top = jnp.zeros((pieces[0][0], c), dtype)
+    end = pieces[-1][0] + pieces[-1][1].shape[0]
+    bot = jnp.zeros((lvl.flat - end, c), dtype)
+    return jnp.concatenate([top] + [v for _, v in pieces] + [bot], axis=0)
+
+
+def _store_pieces(ref, pieces, shift3: bool):
+    """Store (plane_offset, value) pieces into a staging ref whose halo
+    rings were zeroed once at t==0. ``shift3``: 3-shifted ref
+    (``ref[b][q] = plane[q+b]``, so piece at plane offset ``o`` lands at
+    ``o−b``); else a plain single-copy plane ref. Piece row counts are
+    multiples of 8 (sublane store-shape rule); offsets are free."""
+    if shift3:
+        for b in range(3):
+            for off, v in pieces:
+                ref[b, pl.ds(off - b, v.shape[0])] = v
+    else:
+        for off, v in pieces:
+            ref[pl.ds(off, v.shape[0])] = v
 
 
 def _pool(body, lvl: _Lvl, nxt: _Lvl, s_ref, k: int, dtype):
     """2×2 max pool + halo embedding: sublane pairs via a +1-shifted max,
     lead pairs via a free reshape-max, column compaction + embedding via
-    K-row-batched block-diagonal selection matmuls (statically unrolled)."""
+    K-row-batched block-diagonal selection matmuls (statically unrolled).
+    Returns (plane_offset, piece) pairs for :func:`_store_pieces`."""
     m = lvl.lead * lvl.period
     cm = jnp.maximum(body[0:m], body[1:m + 1])
     cm = cm.reshape(lvl.lead // 2, 2, lvl.period, -1)
@@ -261,17 +294,19 @@ def _pool(body, lvl: _Lvl, nxt: _Lvl, s_ref, k: int, dtype):
     pieces = []
     for r0 in range(0, lvl.lead // 2, k):
         tall = rp[r0 * lvl.period:(r0 + k) * lvl.period]
-        pieces.append(jnp.dot(s_ref[...], tall,
-                              preferred_element_type=jnp.float32
-                              ).astype(dtype))
-    return _assemble(pieces, nxt, (lvl.lead // 2) * nxt.period, dtype)
+        pieces.append((
+            (2 + r0) * nxt.period,
+            jnp.dot(s_ref[...], tall,
+                    preferred_element_type=jnp.float32).astype(dtype)))
+    return pieces
 
 
 def _upsample(body, prv: _Lvl, tgt: _Lvl, kt_ref, ctb, e0_ref, e1_ref,
               k: int, dtype):
     """2×2 stride-2 transposed conv + halo embedding: four tap matmuls per
     row batch, block-diagonal expansion matmuls for the column parity, a
-    free stack+reshape interleave for the row parity."""
+    free stack+reshape interleave for the row parity. Bias is added and
+    the image region masked per piece. Returns (plane_offset, piece)."""
     P_p, P_t = prv.period, tgt.period
     pieces = []
     for u0 in range(0, prv.lead, k):
@@ -287,17 +322,18 @@ def _upsample(body, prv: _Lvl, tgt: _Lvl, kt_ref, ctb, e0_ref, e1_ref,
                  + jnp.dot(e1_ref[...], y1,
                            preferred_element_type=jnp.float32))
             rows.append(o.astype(dtype).reshape(k, P_t, -1))
-        pieces.append(jnp.stack(rows, axis=1).reshape(2 * k * P_t, -1))
-    out = _assemble(pieces, tgt, 2 * prv.lead * P_t, dtype)
-    q = _iota_col(tgt.flat)
-    a_i = q // P_t
-    b_i = q % P_t
-    ok = ((a_i >= 2) & (a_i < 2 + tgt.lead) & (b_i >= 2)
-          & (b_i < 2 + tgt.sub))
-    # cast the (flat, 1) mask before broadcasting against (1, C): Mosaic
-    # cannot relayout broadcast i1 vectors (same class as the CCL kernel's
-    # int32 scan flags)
-    return out + ctb[:] * ok.astype(dtype)
+        v = jnp.stack(rows, axis=1).reshape(2 * k * P_t, -1)
+        off = (2 + 2 * u0) * P_t
+        q = _iota_col(2 * k * P_t) + off
+        a_i = q // P_t
+        b_i = q % P_t
+        ok = ((a_i >= 2) & (a_i < 2 + tgt.lead) & (b_i >= 2)
+              & (b_i < 2 + tgt.sub))
+        # cast the (rows, 1) mask before broadcasting against (1, C):
+        # Mosaic cannot relayout broadcast i1 vectors (same class as the
+        # CCL kernel's int32 scan flags)
+        pieces.append((off, v + ctb[:] * ok.astype(dtype)))
+    return pieces
 
 
 # --------------------------------------------------------------------------
@@ -309,16 +345,45 @@ def _staged(lvl: _Lvl) -> bool:
     return _group(lvl.cout) > 1 or _group(lvl.cmid) > 1
 
 
+def _dbg_rows(dbg: str, lvls: Sequence[_Lvl], depth: int) -> int:
+    """Row extent of the intermediate plane named by a debug stage tag."""
+    kind, l = dbg[0], int(dbg[1:] or depth)
+    if kind == "e":                      # encoder body at level l
+        return lvls[l].m_body
+    if kind in ("i", "j"):               # conv1 intermediate (enc/dec)
+        return lvls[l].m_mid
+    if kind in ("s", "y", "z"):          # staged emb reload, shift 0/1/2
+        return lvls[l + 1].flat - 8
+    if kind == "c":                      # conv1 im2col patch matrix
+        return lvls[l].m_mid
+    if kind == "m":                      # pooled embedding into level l+1
+        return lvls[l + 1].flat
+    if kind == "b":                      # bottleneck body
+        return lvls[depth].m_body
+    if kind == "u":                      # upsampled plane at level l
+        return lvls[l].flat
+    return lvls[l].m_body                # "d": decoder body at level l
+
+
 def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
-                 dtype, interpret: bool):
+                 dtype, interpret: bool, dbg: str | None = None):
     """Run the megakernel. ``x_emb``: (B, n_in+8, 128) embedded input
     planes (lanes = the physical tile width; narrower HBM arrays cannot be
     DMA-sliced);
     ``named_ws``: dict name → operand (see ``make_mega_apply``). Returns
-    (B, lead0·period0, 8) fp32 logit planes."""
+    (B, lead0·period0, 8) fp32 logit planes.
+
+    ``dbg``: emit an intermediate plane instead of the logits (lane-padded
+    to 128, fp32) — the Mosaic-vs-interpret bisect instrument: "e{l}" /
+    "m{l}" encoder body / pooled embedding, "b" bottleneck, "u{l}" /
+    "d{l}" decoder upsample / body."""
     b = x_emb.shape[0]
     n_in = 2 * lvls[0].period + lvls[0].m_mid
     m_head = lvls[0].lead * lvls[0].period
+    if dbg is not None:
+        m_out, c_out = _dbg_rows(dbg, lvls, depth), 128
+    else:
+        m_out, c_out = m_head, 8
 
     names = sorted(named_ws)
     ws = [named_ws[k] for k in names]
@@ -328,7 +393,7 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
         pltpu.VMEM((2, n_in + 8, 128), dtype),    # in_buf
         pltpu.SemaphoreType.DMA((2,)),            # sem
     ]
-    s_pos, w_pos = {}, {}
+    s_pos, w_pos, e_pos, u_pos = {}, {}, {}, {}
     for l in range(depth):
         s_pos[l] = len(scratch)
         lv = lvls[l]
@@ -339,14 +404,42 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
             w_pos[l] = len(scratch)
             scratch.append(pltpu.VMEM((3, lvls[l].flat, lvls[l].cout),
                                       dtype))
+    # dedicated plane refs for the pooled embeddings (into level l) and the
+    # decoder upsamples (at level l): 3-shifted when the consuming conv
+    # runs grouped im2col, single-copy otherwise. Separate from w_refs so
+    # halo rings stay zero from the t==0 memset (the conv1-intermediate
+    # staging would otherwise leave stale rows under them), and filled
+    # piece-by-piece (never by storing a sliced concat — see _assemble).
+    for l in range(1, depth + 1):
+        e_pos[l] = len(scratch)
+        shp = ((3, lvls[l].flat, lvls[l].cin)
+               if _group(lvls[l].cin) > 1 else (lvls[l].flat, lvls[l].cin))
+        scratch.append(pltpu.VMEM(shp, dtype))
+    for l in range(depth):
+        u_pos[l] = len(scratch)
+        shp = ((3, lvls[l].flat, lvls[l].cout)
+               if _group(lvls[l].cout) > 1 else (lvls[l].flat, lvls[l].cout))
+        scratch.append(pltpu.VMEM(shp, dtype))
 
     def kernel(x_hbm, *refs):
         w = {kk: refs[i] for kk, i in idx.items()}
         out_ref = refs[len(names)]
         scr = refs[len(names) + 1:]
+
+        def emit(v):
+            r, c = v.shape
+            v = jnp.concatenate(
+                [v.astype(jnp.float32),
+                 jnp.zeros((r, 128 - c), jnp.float32)], axis=1)
+            out_ref[0] = v
         in_buf, sem = scr[0], scr[1]
         s_refs = {l: scr[p] for l, p in s_pos.items()}
         w_refs = {l: scr[p] for l, p in w_pos.items()}
+        e_refs = {l: scr[p] for l, p in e_pos.items()}
+        u_refs = {l: scr[p] for l, p in u_pos.items()}
+
+        def plane_src(ref):
+            return ("ref3", ref) if len(ref.shape) == 3 else ("ref", ref)
 
         t = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -360,8 +453,9 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
         @pl.when(t == 0)
         def _():
             dma(0, t).start()
-            for l, sr in s_refs.items():
-                sr[...] = jnp.zeros(sr.shape, dtype)
+            for refs_ in (s_refs, w_refs, e_refs, u_refs):
+                for rr in refs_.values():
+                    rr[...] = jnp.zeros(rr.shape, dtype)
 
         t1 = t + 1
 
@@ -372,19 +466,26 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
         dma(slot, t).wait()
 
         # ---------------- encoder ----------------
-        emb_val = None
         for l in range(depth):
             lvl = lvls[l]
             if l == 0:
                 src1 = ("slot", in_buf, slot)
-            elif _staged(lvls[l - 1]):
-                src1 = ("ref3", w_refs[l - 1])
             else:
-                src1 = ("val", emb_val)
+                src1 = plane_src(e_refs[l])
+            if dbg == f"c{l}":
+                load = _make_load(src1)
+                return emit(jnp.concatenate(
+                    [load(a * lvl.period, bb, lvl.m_mid)
+                     for a in range(3) for bb in range(3)], axis=1))
             body = _double_conv(
                 lvl, [(src1, w[f"e{l}_w1"])], w[f"e{l}_s1"], w[f"e{l}_b1"],
                 w[f"e{l}_w2"], w[f"e{l}_s2"], w[f"e{l}_b2"],
-                w_refs.get(l), dtype)
+                w_refs.get(l), dtype,
+                emit_mid=(emit if dbg == f"i{l}" else None))
+            if dbg == f"i{l}":
+                return
+            if dbg == f"e{l}":
+                return emit(body)
             if _staged(lvl):
                 for bsh in range(3):
                     s_refs[l][bsh, pl.ds(2 * lvl.period + 2 - bsh,
@@ -392,41 +493,55 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
             else:
                 s_refs[l][pl.ds(2 * lvl.period + 2, lvl.m_body)] = body
             nxt = lvls[l + 1]
-            emb_val = _pool(body, lvl, nxt, w[f"p{l}"],
-                            _kdiv(nxt.lead), dtype)
-            if _staged(lvl):
-                _stage3(w_refs[l], emb_val, nxt.flat - 8)
+            pieces = _pool(body, lvl, nxt, w[f"p{l}"],
+                           _kdiv(nxt.lead), dtype)
+            if dbg == f"m{l}":
+                return emit(_assemble(pieces, nxt, dtype))
+            er = e_refs[l + 1]
+            _store_pieces(er, pieces, len(er.shape) == 3)
+            for sh, kk in enumerate("syz"):
+                if dbg == f"{kk}{l}":
+                    src = (er[sh, pl.ds(0, nxt.flat - 8)]
+                           if len(er.shape) == 3
+                           else er[pl.ds(0, nxt.flat - 8)])
+                    return emit(src)
 
         # ---------------- bottleneck ----------------
         lvl = lvls[depth]
-        if _staged(lvls[depth - 1]):
-            src1 = ("ref3", w_refs[depth - 1])
-        else:
-            src1 = ("val", emb_val)
+        src1 = plane_src(e_refs[depth])
         body = _double_conv(
             lvl, [(src1, w["bot_w1"])], w["bot_s1"], w["bot_b1"],
-            w["bot_w2"], w["bot_s2"], w["bot_b2"], w_refs.get(depth), dtype)
+            w["bot_w2"], w["bot_s2"], w["bot_b2"], w_refs.get(depth), dtype,
+            emit_mid=(emit if dbg == f"i{depth}" else None))
+        if dbg == f"i{depth}":
+            return
+        if dbg == "b":
+            return emit(body)
 
         # ---------------- decoder ----------------
         for u in range(depth):
             l = depth - 1 - u
             tgt, prv = lvls[l], lvls[l + 1]
             dlvl = _mk_geom(tgt.lead, tgt.sub, tgt.cout, tgt.cout, tgt.cout)
-            up = _upsample(body, prv, tgt, w[f"d{l}_kt"], w[f"d{l}_ctb"],
-                           w[f"d{l}_e0"], w[f"d{l}_e1"],
-                           _kdiv(prv.lead), dtype)
-            if _staged(tgt):
-                _stage3(w_refs[l], up, tgt.flat - 8)
-                up_src = ("ref3", w_refs[l])
-                skip_src = ("ref3", s_refs[l])
-            else:
-                up_src = ("val", up)
-                skip_src = ("ref", s_refs[l])
+            up_pieces = _upsample(body, prv, tgt, w[f"d{l}_kt"],
+                                  w[f"d{l}_ctb"], w[f"d{l}_e0"],
+                                  w[f"d{l}_e1"], _kdiv(prv.lead), dtype)
+            if dbg == f"u{l}":
+                return emit(_assemble(up_pieces, tgt, dtype))
+            ur = u_refs[l]
+            _store_pieces(ur, up_pieces, len(ur.shape) == 3)
+            up_src = plane_src(ur)
+            skip_src = plane_src(s_refs[l])
             body = _double_conv(
                 dlvl, [(skip_src, w[f"d{l}_w1s"]), (up_src, w[f"d{l}_w1u"])],
                 w[f"d{l}_s1"], w[f"d{l}_b1"], w[f"d{l}_w2"], w[f"d{l}_s2"],
                 w[f"d{l}_b2"], w_refs.get(l), dtype,
-                want_f32=(l == 0))
+                want_f32=(l == 0),
+                emit_mid=(emit if dbg == f"j{l}" else None))
+            if dbg == f"j{l}":
+                return
+            if dbg == f"d{l}":
+                return emit(body)
 
         # ---------------- head ----------------
         logits = (jnp.dot(body[0:m_head], w["head_w"][...],
@@ -445,13 +560,16 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
         kernel,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, m_head, 8), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, m_out, c_out), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m_head, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, m_out, c_out), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the default scoped-vmem (kernel stack) limit is 16 MB; the
+            # megakernel's live values need most of the chip's 128 MB
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(x_emb, *ws)
     return out
@@ -491,10 +609,12 @@ def _blockdiag_np(k, rows, cols, pairs):
     return m
 
 
-def make_mega_apply(cfg):
+def make_mega_apply(cfg, dbg: str | None = None,
+                    interpret: bool | None = None):
     """Returns ``apply(variables, x) -> logits`` replaying the flax UNet's
     inference semantics (batch-norm variant) through the megakernel.
-    Mirrors :func:`plumekit.models.fused_forward.make_fused_apply`."""
+    Mirrors :func:`plumekit.models.fused_forward.make_fused_apply`.
+    ``dbg`` selects an intermediate-plane output (see ``mega_forward``)."""
     if cfg.norm != "batch":
         raise ValueError("megakernel forward requires the batch-norm U-Net")
     depth = cfg.depth
@@ -506,7 +626,8 @@ def make_mega_apply(cfg):
             raise ValueError("megakernel forward is inference-only")
         params = variables["params"]
         stats = variables["batch_stats"]
-        interpret = jax.default_backend() in ("cpu", "gpu")
+        interp = (jax.default_backend() in ("cpu", "gpu")
+                  if interpret is None else interpret)
 
         b, h, wd, cin = x.shape
         lvls = _levels(h, wd, depth, 128, cfg.base_features)
@@ -586,7 +707,10 @@ def make_mega_apply(cfg):
                       (0, 128 - cin)))
         x_emb = xp.reshape(b, (h + 9) * lv0.period, 128)[:, :n_in + 8]
 
-        out = mega_forward(x_emb, ws, lvls, depth, dtype, interpret)
+        out = mega_forward(x_emb, ws, lvls, depth, dtype, interp,
+                           dbg=dbg)
+        if dbg is not None:
+            return out
         # conv bodies carry pixel (r, j) at flat r·period + j
         out = out.reshape(b, h, lv0.period, 8)
         return out[:, :, :wd, :out_ch]
