@@ -27,6 +27,13 @@ class UNetConfig:
     compute_dtype: str = "bfloat16"
     #: use the fused Pallas conv+norm+ReLU kernel on TPU (lax.conv fallback)
     use_pallas: bool = False
+    #: run inference through the whole-forward Pallas megakernel when the
+    #: geometry is eligible (batch norm, dims divisible by 2**depth — see
+    #: models/pallas/unet_mega.mega_eligible). One dispatched program for
+    #: the entire U-Net: ~1.5-1.7x XLA for small/moderate tile batches on
+    #: v5e; the XLA path remains faster for whole-granule batches
+    #: (BASELINE.md megakernel row).
+    use_mega: bool = False
 
 
 @dataclass(frozen=True)

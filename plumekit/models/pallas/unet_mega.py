@@ -118,9 +118,14 @@ def _levels(h: int, w: int, depth: int, cin: int, feats: int) -> List[_Lvl]:
 
 
 def _group(cin: int) -> int:
-    """im2col tap-group size: 9 taps when 9·cin fits one MXU K pass, 3 taps
-    (one kernel row) below full lanes, else per-tap matmuls."""
-    if 9 * cin <= 128:
+    """im2col tap-group size: 9 taps grouped into ONE matmul whenever the
+    patch width K = 9·cin stays MXU-reasonable (the MXU accumulates K>128
+    internally; one wide matmul beats nine narrow ones on pipeline setup),
+    else per-tap matmuls. The g=3
+    per-kernel-row middle ground never won on-chip and is kept only as a
+    fallback for 128<9·cin bands. Sources must be 3-shifted refs (aligned
+    loads) for any g>1; the DMA slot source stays per-tap."""
+    if 9 * cin <= 2304:
         return 9
     if cin < 128:
         return 3
@@ -216,7 +221,9 @@ def _double_conv(lvl: _Lvl, sources1, s1, b1, w2_ref, s2, b2, w_ref,
     P, lead, sub = lvl.period, lvl.lead, lvl.sub
     m_mid, m_body = lvl.m_mid, lvl.m_body
 
-    g1 = _group(lvl.cin)
+    # the DMA slot window holds one copy only, so its tap loads sit at
+    # unaligned offsets — Mosaic cannot concat those; stay per-tap there
+    g1 = 1 if any(s[0] == "slot" for s, _ in sources1) else _group(lvl.cin)
     acc1 = _conv_taps(sources1, g1, P, m_mid, lvl.cmid)
     inter = jnp.maximum(
         acc1 * s1[:].astype(jnp.float32) + b1[:].astype(jnp.float32), 0.0)
@@ -428,9 +435,10 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
 
         def emit(v):
             r, c = v.shape
-            v = jnp.concatenate(
-                [v.astype(jnp.float32),
-                 jnp.zeros((r, 128 - c), jnp.float32)], axis=1)
+            v = v.astype(jnp.float32)
+            if c < 128:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((r, 128 - c), jnp.float32)], axis=1)
             out_ref[0] = v
         in_buf, sem = scr[0], scr[1]
         s_refs = {l: scr[p] for l, p in s_pos.items()}
@@ -588,12 +596,13 @@ def _fold_bn(block_p, block_s, j):
                           bn_s["var"])
 
 
-def _pack_conv(w, dtype):
+def _pack_conv(w, dtype, g: int | None = None):
     """Arrange a (3,3,Cin,Cout) HWIO kernel for its im2col group size; tap
-    (a, b) = (row, col) shift indexes weight [a, b]."""
+    (a, b) = (row, col) shift indexes weight [a, b]. ``g`` overrides the
+    group (the slot-fed first conv stays per-tap)."""
     ci, co = w.shape[2], w.shape[3]
     w9 = w.reshape(9, ci, co).astype(dtype)
-    g = _group(ci)
+    g = _group(ci) if g is None else g
     if g == 9:
         return w9.reshape(1, 9 * ci, co)
     if g == 3:
@@ -642,7 +651,7 @@ def make_mega_apply(cfg, dbg: str | None = None,
                 w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 128 - cin), (0, 0)))
             s1, b1 = _fold_bn(params[blk], stats[blk], 0)
             s2, b2 = _fold_bn(params[blk], stats[blk], 1)
-            ws[f"{tag}_w1"] = _pack_conv(w1, dtype)
+            ws[f"{tag}_w1"] = _pack_conv(w1, dtype, g=1 if l == 0 else None)
             ws[f"{tag}_w2"] = _pack_conv(params[blk]["Conv_1"]["kernel"],
                                          dtype)
             cm, co = lvls[l].cmid, lvls[l].cout

@@ -83,6 +83,26 @@ class UNet(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.cfg
         if (
+            cfg.use_mega
+            and not train
+            and cfg.norm == "batch"
+            and not self.is_mutable_collection("params")
+            and "batch_stats" in self.variables
+        ):
+            from plumekit.models.pallas.unet_mega import (
+                make_mega_apply, mega_eligible)
+
+            if mega_eligible(cfg, x.shape[1], x.shape[2]):
+                # whole-forward megakernel: every level of the U-Net in ONE
+                # dispatched Pallas program (weights VMEM-resident,
+                # activations never touch HBM) — the round-2 op-count lever
+                # applied to the model forward
+                return make_mega_apply(cfg)(
+                    {"params": self.variables["params"],
+                     "batch_stats": self.variables["batch_stats"]},
+                    x,
+                )
+        if (
             cfg.use_pallas
             and not train
             and cfg.norm == "batch"

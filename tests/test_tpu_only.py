@@ -79,3 +79,35 @@ def test_fused_conv_parity_on_chip(tpu):
     corr = np.corrcoef(np.asarray(got, np.float32).ravel(),
                        np.asarray(ref, np.float32).ravel())[0, 1]
     assert corr > 0.9999
+
+
+def test_unet_megakernel_parity_on_chip(tpu):
+    """Mosaic-compiled whole-U-Net megakernel == flax apply on-chip.
+
+    Guards the round-2 fix for the concat-store corruption (planes staged
+    piece-by-piece — unet_mega._store_pieces): before it, scattered sublane
+    tiles diverged by ~20%; after, every dbg stage is bit-exact vs
+    interpret and the full net tracks flax at bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from plumekit.config.train import UNetConfig
+    from plumekit.models.pallas.unet_mega import make_mega_apply
+    from plumekit.models.unet import UNet
+
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=4,
+                     norm="batch", compute_dtype="bfloat16")
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 64, 2), jnp.float32)
+    variables = model.init(rng, x, train=False)
+    bs = jax.tree.map(lambda a: a + 0.3 * jax.random.normal(
+        jax.random.fold_in(rng, a.size), a.shape, a.dtype) ** 2,
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    ref = np.asarray(model.apply(variables, x, train=False), np.float32)
+    got = np.asarray(jax.jit(make_mega_apply(cfg))(variables, x),
+                     np.float32)
+    rel = np.abs(ref - got).max() / np.abs(ref).max()
+    assert rel < 0.05, f"relative error {rel:.4f}"
