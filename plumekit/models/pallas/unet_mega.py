@@ -120,16 +120,11 @@ def _levels(h: int, w: int, depth: int, cin: int, feats: int) -> List[_Lvl]:
 def _group(cin: int) -> int:
     """im2col tap-group size: 9 taps grouped into ONE matmul whenever the
     patch width K = 9·cin stays MXU-reasonable (the MXU accumulates K>128
-    internally; one wide matmul beats nine narrow ones on pipeline setup),
-    else per-tap matmuls. The g=3
-    per-kernel-row middle ground never won on-chip and is kept only as a
-    fallback for 128<9·cin bands. Sources must be 3-shifted refs (aligned
-    loads) for any g>1; the DMA slot source stays per-tap."""
-    if 9 * cin <= 2304:
-        return 9
-    if cin < 128:
-        return 3
-    return 1
+    internally; one wide matmul beat nine narrow ones by ~5% end-to-end),
+    else per-tap matmuls (cin > 256, and the DMA slot source whose
+    unaligned loads cannot concat). Sources must be 3-shifted refs
+    (aligned loads) for g=9."""
+    return 9 if 9 * cin <= 2304 else 1
 
 
 def _kdiv(n: int) -> int:
@@ -186,12 +181,6 @@ def _conv_taps(sources, g: int, period: int, n_rows: int, cout: int):
                  for b in range(3)], axis=1)
             acc = acc + jnp.dot(patches, w_ref[0],
                                 preferred_element_type=jnp.float32)
-        elif g == 3:
-            for a in range(3):
-                patches = jnp.concatenate(
-                    [load(a * period, b, n_rows) for b in range(3)], axis=1)
-                acc = acc + jnp.dot(patches, w_ref[a],
-                                    preferred_element_type=jnp.float32)
         else:
             for a in range(3):
                 for b in range(3):
@@ -434,11 +423,15 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
         scr = refs[len(names) + 1:]
 
         def emit(v):
+            # dbg planes are lane-padded (or truncated: wide stages emit
+            # their first 128 channels — lane slices must be 128-aligned)
             r, c = v.shape
             v = v.astype(jnp.float32)
             if c < 128:
                 v = jnp.concatenate(
                     [v, jnp.zeros((r, 128 - c), jnp.float32)], axis=1)
+            elif c > 128:
+                v = v[:, :128]
             out_ref[0] = v
         in_buf, sem = scr[0], scr[1]
         s_refs = {l: scr[p] for l, p in s_pos.items()}
@@ -481,6 +474,11 @@ def mega_forward(x_emb, named_ws, lvls: Sequence[_Lvl], depth: int,
             else:
                 src1 = plane_src(e_refs[l])
             if dbg == f"c{l}":
+                if l == 0:
+                    # the slot window's unaligned tap loads cannot concat
+                    # (the same Mosaic rule that forces g1=1 below)
+                    raise ValueError("c0 is not bisectable: level 0 reads "
+                                     "the DMA slot per-tap")
                 load = _make_load(src1)
                 return emit(jnp.concatenate(
                     [load(a * lvl.period, bb, lvl.m_mid)
@@ -605,8 +603,6 @@ def _pack_conv(w, dtype, g: int | None = None):
     g = _group(ci) if g is None else g
     if g == 9:
         return w9.reshape(1, 9 * ci, co)
-    if g == 3:
-        return w9.reshape(3, 3 * ci, co)
     return w9
 
 
@@ -639,6 +635,10 @@ def make_mega_apply(cfg, dbg: str | None = None,
                   if interpret is None else interpret)
 
         b, h, wd, cin = x.shape
+        if not mega_eligible(cfg, h, wd):
+            raise ValueError(
+                f"megakernel ineligible for shape {(h, wd)} / config "
+                "(see mega_eligible); use the XLA forward")
         lvls = _levels(h, wd, depth, 128, cfg.base_features)
         ws = {}
 
@@ -729,9 +729,19 @@ def make_mega_apply(cfg, dbg: str | None = None,
 
 def mega_eligible(cfg, h: int, w: int) -> bool:
     """True when the megakernel supports this config/shape: batch-norm
-    UNet, spatial dims divisible by 2**depth with a ≥2-px bottleneck."""
+    UNet in bf16/fp32, ≤128 input channels, spatial dims divisible by
+    2**depth with a ≥2-px bottleneck, and a tile small enough for the
+    kernel's live values to fit v5e VMEM. The VMEM gate is the empirical
+    v5e scaling law ≈ 280 B per (row·period·base-feature) — calibrated by
+    the 32-base OOM at 128² (155 MB used) vs the compiling 96²; ineligible
+    shapes fall through to the XLA forward instead of failing to compile."""
     d = cfg.depth
+    period0 = ((w + 4 + 7) // 8) * 8
+    vmem_est = 280 * h * period0 * cfg.base_features
     return (cfg.norm == "batch"
+            and cfg.compute_dtype in ("bfloat16", "float32")
+            and cfg.in_channels <= 128
             and h % (1 << d) == 0 and w % (1 << d) == 0
             and (h >> d) >= 2 and (w >> d) >= 2
-            and cfg.out_channels <= 8)
+            and cfg.out_channels <= 8
+            and vmem_est <= 120 * 1024 * 1024)
