@@ -29,8 +29,14 @@ p.add_argument("--steps", type=int, default=3000)
 p.add_argument("--batch", type=int, default=16)
 p.add_argument("--tile", type=int, default=128)
 p.add_argument("--smooth", type=float, default=0.05)
+p.add_argument("--labels", default="weak,curated",
+               help="comma list of training-label variants to compare: "
+                    "weak (rg masks), curated (GT-proxy-kept hulls), "
+                    "gauss (gaussian-detector hulls rasterised), "
+                    "union / inter (rg ∪/∩ gauss consensus)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
+label_names = [s.strip() for s in args.labels.split(",") if s.strip()]
 
 import jax
 
@@ -55,7 +61,15 @@ identify_cfg = RGIdentifyConfig(max_fires=32)
 
 
 def build_datasets():
-    weak_set, curated_set = [], []
+    """Per-granule training masks for every requested label variant.
+
+    ``gauss`` runs the multi-scale gaussian detector (the reference's most
+    evolved labeller) and rasterises its hulls; ``union``/``inter`` are
+    pixelwise consensus of the rg masks with those hulls — the
+    multi-detector agreement labels the reference's four-detector design
+    implies but never built."""
+    need_gauss = bool({"gauss", "union", "inter"} & set(label_names))
+    sets = {name: [] for name in label_names}
     kept = dropped = 0
     t0 = time.perf_counter()
     for i in range(args.granules):
@@ -102,18 +116,45 @@ def build_datasets():
                 }))
             else:
                 dropped += 1
-        weak_set.append(GranuleSample(channels=sample.channels, mask=weak))
+        if "weak" in sets:
+            sets["weak"].append(
+                GranuleSample(channels=sample.channels, mask=weak))
 
-        if hull_rows:
-            kept_df = pd.concat(hull_rows, ignore_index=True)
-            cur = rasterize_hulls(kept_df, g.shape).astype(np.float32)
-        else:
-            cur = np.zeros(g.shape, np.float32)
-        curated_set.append(GranuleSample(channels=sample.channels, mask=cur))
+        if "curated" in sets:
+            if hull_rows:
+                kept_df = pd.concat(hull_rows, ignore_index=True)
+                cur = rasterize_hulls(kept_df, g.shape).astype(np.float32)
+            else:
+                cur = np.zeros(g.shape, np.float32)
+            sets["curated"].append(
+                GranuleSample(channels=sample.channels, mask=cur))
+
+        if need_gauss:
+            from plumekit.config.identify import GaussianIdentifyConfig
+            from plumekit.identify.api import identify as api_identify
+
+            # the reference's ≥20-fires-per-scene guard
+            # (plume_identifier_gaussian_profile.py:598-600) is a
+            # data-volume gate, not semantics — synthetic scenes carry
+            # 15-24 fires, so lower it for the label study
+            ps = api_identify(g, scene.fires, date,
+                              GaussianIdentifyConfig(min_fires_per_scene=5))
+            if len(ps.hulls):
+                gmask = rasterize_hulls(
+                    ps.hulls, g.shape).astype(np.float32)
+            else:
+                gmask = np.zeros(g.shape, np.float32)
+            variants = {"gauss": gmask,
+                        "union": np.maximum(weak, gmask),
+                        "inter": weak * gmask}
+            for name in ("gauss", "union", "inter"):
+                if name in sets:
+                    sets[name].append(GranuleSample(
+                        channels=sample.channels, mask=variants[name]))
     print(f"labelled {args.granules} granules in "
           f"{time.perf_counter()-t0:.1f} s; curation kept {kept} / "
           f"dropped {dropped} plumes")
-    return weak_set, curated_set
+    return sets
 
 
 def gt_dev_set(n=8):
@@ -128,7 +169,7 @@ def gt_dev_set(n=8):
     ]
 
 
-weak_set, curated_set = build_datasets()
+label_sets = build_datasets()
 dev = gt_dev_set()
 
 train_cfg = TrainConfig(
@@ -139,7 +180,8 @@ train_cfg = TrainConfig(
 unet_cfg = UNetConfig()
 
 results = {}
-for name, train_set in (("weak", weak_set), ("curated", curated_set)):
+for name in label_names:
+    train_set = label_sets[name]
     t0 = time.perf_counter()
     hist = train(unet_cfg=unet_cfg, train_cfg=train_cfg,
                  data_cfg=DataConfig(), checkpoint=False,

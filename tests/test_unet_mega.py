@@ -94,3 +94,24 @@ def test_use_mega_flag_routes_through_module():
     gv = gm.init(rng, x, train=False)
     out = gm.apply(gv, x, train=False)       # falls through to XLA path
     assert out.shape == (1, 32, 32, 1)
+
+
+def test_mega_dbg_stage_emits():
+    """The stage-bisect instrument (make_mega_apply(dbg=...)) emits
+    lane-padded intermediate planes — the tool that located the Mosaic
+    concat-store corruption (CLAUDE.md) must keep working."""
+    from plumekit.models.pallas.unet_mega import _levels
+
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2, norm="batch",
+                     compute_dtype="bfloat16")
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 32, 32, 2), jnp.float32)
+    variables = _variables(model, rng, x)
+
+    lvls = _levels(32, 32, 2, 128, 8)
+    out = make_mega_apply(cfg, dbg="e0")(variables, x)
+    assert out.shape == (1, lvls[0].m_body, 128)
+    # emitted encoder body is finite and populated
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).max() > 0
