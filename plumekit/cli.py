@@ -124,7 +124,7 @@ def cmd_build_features(args) -> int:
     from plumekit.identify import rg as rg_mod
     from plumekit.identify import gaussian as gaussian_mod
     from plumekit.io.fires import load_fire_csv
-    from plumekit.io.granule import load_granule
+    from plumekit.io.granule import GRANULE_EXTENSIONS, load_granule
     from plumekit.train.checkpoint import WorkLog
 
     paths = PathsConfig(root=args.root)
@@ -142,7 +142,7 @@ def cmd_build_features(args) -> int:
 
     n_done = 0
     for fname in sorted(os.listdir(maiac_dir)):
-        if not fname.endswith((".npz", ".h5", ".hdf")):
+        if not fname.endswith(GRANULE_EXTENSIONS):
             continue
         if log.done(fname):
             logger.info("%s already processed, continuing...", fname)
@@ -265,7 +265,8 @@ def cmd_predict_model(args) -> int:
 
     from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
     from plumekit.infer import make_sliding_infer
-    from plumekit.io.granule import load_granule, NULL_VALUE
+    from plumekit.io.granule import (GRANULE_EXTENSIONS, load_granule,
+                                     NULL_VALUE)
     from plumekit.models import UNet
     from plumekit.train.checkpoint import restore_checkpoint, latest_step
     from plumekit.train.state import create_state
@@ -302,7 +303,7 @@ def cmd_predict_model(args) -> int:
     granule_paths = [
         os.path.join(maiac_dir, f)
         for f in sorted(os.listdir(maiac_dir))
-        if f.endswith((".npz", ".h5", ".hdf"))
+        if f.endswith(GRANULE_EXTENSIONS)
     ]
     # streaming pipeline (config 5): decode+stage granule i+1 while granule i
     # runs on device
@@ -353,7 +354,7 @@ def cmd_select(args) -> int:
     (reference plume_selector.main semantics, non-blocking)."""
     import pandas as pd
 
-    from plumekit.io.granule import load_granule
+    from plumekit.io.granule import find_granule, load_granule
     from plumekit.label import export_review_batch, apply_decisions
 
     paths = PathsConfig(root=args.root)
@@ -366,12 +367,7 @@ def cmd_select(args) -> int:
         if "datetime" not in hull_df.columns:
             hull_df["datetime"] = "layer0"
         base = fname.replace("_extent.csv", "")
-        gpath = None
-        for ext in (".npz", ".h5", ".hdf"):
-            cand = os.path.join(maiac_dir, base + ext)
-            if os.path.exists(cand):
-                gpath = cand
-                break
+        gpath = find_granule(maiac_dir, base)
         if gpath is None:
             logger.warning("no granule for %s", fname)
             continue

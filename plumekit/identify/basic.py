@@ -55,9 +55,10 @@ def _make_program(cfg: BasicIdentifyConfig):
 
         mask = aod >= cfg.aod_min_limit
         opened = binary_opening_cross(mask)
-        if ccl_backend() == "pallas":
-            from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
+        from plumekit.ops.pallas.ccl_sweep import (
+            multi_threshold_ccl, sweep_fits_vmem)
 
+        if ccl_backend() == "pallas" and sweep_fits_vmem(*opened.shape):
             labels = multi_threshold_ccl(opened[None], nested=False)[0]
         else:
             labels = connected_components(opened, connectivity=2)

@@ -24,14 +24,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from plumekit.identify.pipeline import SweepStatics, make_sweep_identifier
+from functools import lru_cache
+
+from plumekit.identify.pipeline import (
+    SweepStatics,
+    make_sweep_identifier,
+    validate_descending_thresholds,
+)
 
 
+@lru_cache(maxsize=16)
 def make_batch_identifier(statics: SweepStatics, mesh: Mesh,
                           axis: str = "data"):
     """Build ``fn(aod (B,H,W), null (B,H,W), thresholds (T,), rows (B,F),
     cols (B,F), valid (B,F)) -> dict of stacked outputs`` with the batch
-    sharded over ``axis``. B must divide by the axis size."""
+    sharded over ``axis``. B must divide by the axis size. Cached on
+    (statics, mesh, axis) so repeated driver calls reuse the jitted
+    program instead of retracing (the sweep compile costs minutes cold)."""
     sweep = make_sweep_identifier(statics, jit=False)
 
     def local(aods, nulls, thresholds, rows, cols, valid):
@@ -64,12 +73,16 @@ def batch_identify_sharded(
     fire_valid: np.ndarray,
     mesh: Mesh,
     null_masks=None,
+    axis: str = "data",
 ):
     """Convenience driver: place the stacks batch-sharded on the mesh and
-    run. ``aods`` (B, H, W); fire arrays (B, F). Pads B up to the data-axis
-    size with empty scenes (dropped from the returned dict)."""
+    run. ``aods`` (B, H, W); fire arrays (B, F). Pads B up to the
+    ``axis`` size with empty scenes (dropped from the returned dict)."""
+    # same guard every other entry point applies: the warm-started CCL
+    # requires strictly descending thresholds (pipeline.py)
+    thresholds = validate_descending_thresholds(thresholds)
     b = aods.shape[0]
-    n = mesh.shape["data"]
+    n = mesh.shape[axis]
     pad = (-b) % n
     if pad:
         def padb(x, fill=0):
@@ -85,8 +98,8 @@ def batch_identify_sharded(
     if null_masks is None:
         null_masks = np.zeros(aods.shape, bool)
 
-    sharding = NamedSharding(mesh, P("data"))
-    fn = make_batch_identifier(statics, mesh)
+    sharding = NamedSharding(mesh, P(axis))
+    fn = make_batch_identifier(statics, mesh, axis)
     out = fn(
         jax.device_put(jnp.asarray(aods, jnp.float32), sharding),
         jax.device_put(jnp.asarray(null_masks), sharding),

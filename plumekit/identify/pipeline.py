@@ -237,9 +237,11 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
         # ONE Pallas program with the label image resident in VMEM — the
         # XLA expansion pays ~45 µs of relay dispatch per op × ~550 ops per
         # sweep (1.6 s/scene at 1200²); the kernel does it in ~40 ms.
-        if ccl_backend() == "pallas":
-            from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
+        from plumekit.ops.pallas.ccl_sweep import (
+            multi_threshold_ccl, sweep_fits_vmem)
 
+        if (ccl_backend() == "pallas"
+                and sweep_fits_vmem(*opened.shape[-2:])):
             labels_all = multi_threshold_ccl(opened, connectivity=2)
         else:
             # XLA fallback: lax.scan of warm-started labelings (NOT vmap —

@@ -91,6 +91,24 @@ def load_granule(path: str) -> Granule:
     return Granule(layers=layers, lat=data["lat"], lon=data["lon"], name=name)
 
 
+#: every granule serialisation load_granule understands, in probe order
+GRANULE_EXTENSIONS = (".npz", ".h5", ".hdf5", ".hdf")
+
+
+def find_granule(directory: str, base: str):
+    """Path of the granule named ``base`` under ``directory`` in any
+    supported serialisation, or None. The single probe list shared by
+    select / prepare_model_data / predict so the sites cannot drift from
+    what save_granule/load_granule actually support."""
+    import os
+
+    for ext in GRANULE_EXTENSIONS:
+        cand = os.path.join(directory, base + ext)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 def read_maiac_hdf4(path: str, max_layers_rule: bool = True) -> Granule:
     """Read a real MAIAC MCD19A2 HDF4 granule (requires ``pyhdf``).
 

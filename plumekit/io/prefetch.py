@@ -61,22 +61,46 @@ def device_prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _END = object()
     err: list = []
+    stop = threading.Event()
+
+    def blocking_put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # stream — otherwise a dropped generator would park this thread
+        # on a full queue forever, pinning buffer_size device arrays
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterable:
-                q.put(put(item))
+                if not blocking_put(put(item)):
+                    return
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)
         finally:
-            q.put(_END)
+            blocking_put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer done or abandoned: release the producer and drop any
+        # staged items so their device buffers free promptly
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

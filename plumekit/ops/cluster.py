@@ -112,9 +112,10 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
     safe_c = jnp.where(valid, cols, 0)
     grid = grid.at[safe_r, safe_c].set(valid, mode="drop")
 
-    if ccl_backend() == "pallas":
-        from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl
+    from plumekit.ops.pallas.ccl_sweep import (
+        multi_threshold_ccl, sweep_fits_vmem)
 
+    if ccl_backend() == "pallas" and sweep_fits_vmem(h, w):
         labels = multi_threshold_ccl(grid[None], nested=False)[0]
     else:
         labels = connected_components(grid, connectivity=2)

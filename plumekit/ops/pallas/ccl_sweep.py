@@ -213,10 +213,26 @@ def _kernel(opened_hbm, out_hbm, lbl, mwin, stage, sem_in, sem_out, *,
     lax.fori_loop(0, n_blk, out_block, 0)
 
 
+#: VMEM the kernel needs for an (h, w) scene: the whole label plane plus
+#: two block slabs live in VMEM (scratch_shapes below)
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def sweep_fits_vmem(h: int, w: int, block: int = 128) -> bool:
+    """True when the kernel's VMEM scratch for an (h, w) scene fits the
+    budget — callers should fall back to the XLA CCL path otherwise
+    (a too-large scene would die in the Mosaic compiler, not degrade).
+    ~5000² scenes fit; the MAIAC native 1200² uses ~8 MB."""
+    w_pad = ((w + 127) // 128) * 128
+    h_blk = -(-h // block) * block
+    scratch = (h_blk + 2 * HALO) * w_pad * 4 + 2 * block * w_pad * 4
+    return scratch <= _VMEM_BUDGET
+
+
 @partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
                                    "nested", "interpret"))
 def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
-                        max_sweeps: int = 256, nested: bool = True,
+                        max_sweeps: int | None = None, nested: bool = True,
                         interpret: bool = False):
     """Label every mask of a nested (T, H, W) bool stack in one kernel.
 
@@ -225,8 +241,25 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
     dispatched program. ``nested=True`` warm-starts level i+1 from level i's
     labels and REQUIRES ``opened[i] ⊆ opened[i+1]``; pass ``nested=False``
     for independent masks (each level then relaxes from scratch).
+
+    ``max_sweeps`` (default ``max(256, h)``) caps each level's relaxation:
+    every down+up pass carries information across the full image height, so
+    real masks converge in a handful of passes (the per-level while_loop
+    exits early), but an adversarial serpentine with more than ~max_sweeps
+    direction reversals would be truncated silently — unlike the XLA path,
+    which pointer-jumps. Raise the cap for pathological inputs.
     """
     t_count, h, w = opened.shape
+    if block % 8:
+        raise ValueError(
+            f"block must be a multiple of 8 (Mosaic sublane slice-shape "
+            f"rule), got {block}")
+    if not sweep_fits_vmem(h, w, block):
+        raise ValueError(
+            f"scene {(h, w)} exceeds the kernel's VMEM budget; use the "
+            "XLA connected_components path (sweep_fits_vmem gates this)")
+    if max_sweeps is None:
+        max_sweeps = max(256, h)
     w_pad = ((w + 127) // 128) * 128
     n_blk = -(-h // block)
     h_blk = n_blk * block
@@ -253,6 +286,9 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the label plane for scenes beyond ~1700² exceeds the default
+            # 16 MB scoped-vmem cap; budgeted by sweep_fits_vmem above
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(op)
     return out[:, :h, :w]

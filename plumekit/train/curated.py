@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 
 from plumekit.config import PathsConfig
-from plumekit.io.granule import Granule, load_granule
+from plumekit.io.granule import Granule, find_granule, load_granule
 from plumekit.train.data import GranuleSample
 from plumekit.utils import get_logger
 
@@ -76,8 +76,19 @@ def granule_to_channels(granule: Granule, ts: str,
 
     from plumekit.train.data import assemble_channels
 
-    aod = (granule.layers[ts] if ts in granule.layers
-           else granule.first_layer())
+    if ts in granule.layers:
+        aod = granule.layers[ts]
+    elif len(granule.layers) == 1:
+        # single-layer granule: hull CSVs may carry a sentinel timestamp
+        # (the selector writes "layer0" when the detector ran layerless)
+        aod = granule.first_layer()
+    else:
+        # multi-orbit granule with an unknown timestamp: falling back to
+        # an arbitrary layer would pair the mask with the WRONG orbit's
+        # AOD — corrupted training data with no error
+        raise ValueError(
+            f"hull timestamp {ts!r} not among granule layers "
+            f"{sorted(granule.layers)}; cannot pick an orbit layer")
     rows: np.ndarray = np.zeros(0, np.int32)
     cols: np.ndarray = np.zeros(0, np.int32)
     if fire_df is not None and len(fire_df):
@@ -111,6 +122,8 @@ def build_model_data(
         fire_csv = cand if os.path.exists(cand) else None
     if fire_csv is not None:
         fire_df = load_fire_csv(fire_csv)
+        if not len(fire_df):          # header-only CSV: same as no fires
+            fire_df = None
 
     written: List[str] = []
     for fname in sorted(os.listdir(reduced_dir)):
@@ -120,12 +133,7 @@ def build_model_data(
         if not len(hull_df):
             continue
         base = fname.replace("_extent.csv", "")
-        gpath = None
-        for ext in (".npz", ".h5", ".hdf"):
-            cand = os.path.join(maiac_dir, base + ext)
-            if os.path.exists(cand):
-                gpath = cand
-                break
+        gpath = find_granule(maiac_dir, base)
         if gpath is None:
             logger.warning("no granule for %s — skipping", fname)
             continue
