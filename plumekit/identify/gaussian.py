@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from plumekit.config.identify import GaussianIdentifyConfig
 from plumekit.identify.locate import locate_fires_in_image, pad_fires
-from plumekit.identify.pipeline import SweepStatics, cached_sweep_identifier
+from plumekit.identify.pipeline import (SweepStatics,
+                                         cached_sweep_identifier,
+                                         validate_descending_thresholds)
 from plumekit.identify.rg import build_scene_dataframes
 from plumekit.io.fires import subset_fires_to_image
 from plumekit.io.granule import Granule
@@ -61,6 +63,24 @@ def load_fires(lat, lon, fire_df, date_to_find, cfg: GaussianIdentifyConfig):
     )
 
 
+def cluster_fire_centroids(shape, fire_rows, fire_cols,
+                           cfg: GaussianIdentifyConfig):
+    """Fire clustering (pad + rasterised CCL centroids) — depends only on
+    the fire table and grid shape, so multi-orbit granules compute it ONCE
+    (a per-layer recompute would dispatch an identical CCL program per
+    layer; op count is the dominant cost on this platform)."""
+    if len(fire_rows) > cfg.max_fires:
+        logger.warning(
+            "raw fires (%d) exceed capacity (%d); truncating before "
+            "clustering", len(fire_rows), cfg.max_fires,
+        )
+    f_rows, f_cols, f_valid = pad_fires(fire_rows, fire_cols, cfg.max_fires)
+    return raster_cluster_centroids(
+        shape, jnp.asarray(f_rows), jnp.asarray(f_cols),
+        jnp.asarray(f_valid), cfg.min_fire_cluster_px,
+    )
+
+
 def identify_layer(
     aod: np.ndarray,
     lat: np.ndarray,
@@ -68,32 +88,26 @@ def identify_layer(
     fire_rows: np.ndarray,
     fire_cols: np.ndarray,
     cfg: GaussianIdentifyConfig = GaussianIdentifyConfig(),
+    clusters=None,
 ) -> pd.DataFrame:
     """One orbit layer → hull dataframe
-    (``plume_identifier_gaussian_profile.py:464-518`` call order)."""
+    (``plume_identifier_gaussian_profile.py:464-518`` call order).
+    ``clusters``: precomputed :func:`cluster_fire_centroids` result (the
+    multi-orbit driver passes it; standalone calls compute it here)."""
     null_mask = aod == cfg.null_value
     aod_i = nearest_fill(
         jnp.asarray(aod, jnp.float32), jnp.asarray(null_mask)
     )
 
-    if len(fire_rows) > cfg.max_fires:
-        logger.warning(
-            "raw fires (%d) exceed capacity (%d); truncating before "
-            "clustering", len(fire_rows), cfg.max_fires,
-        )
-    f_rows, f_cols, f_valid = pad_fires(fire_rows, fire_cols, cfg.max_fires)
-    cr, cc, cvalid = raster_cluster_centroids(
-        aod.shape, jnp.asarray(f_rows), jnp.asarray(f_cols),
-        jnp.asarray(f_valid), cfg.min_fire_cluster_px,
-    )
+    cr, cc, cvalid = (clusters if clusters is not None
+                      else cluster_fire_centroids(
+                          aod.shape, fire_rows, fire_cols, cfg))
 
     fn = cached_sweep_identifier(_statics(cfg))
     df_list: List[pd.DataFrame] = []
     min_id = 0
     null_j = jnp.asarray(null_mask)
     for thresholds in cfg.threshold_sets():
-        from plumekit.identify.pipeline import validate_descending_thresholds
-
         thr = jnp.asarray(validate_descending_thresholds(thresholds))
         out = fn(aod_i, aod_i, null_j, thr, cr, cc, cvalid)
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -125,10 +139,15 @@ def identify_granule(
                      "datetime"]
         )
 
+    # fire clustering depends only on the fire table + grid: once per
+    # granule, not once per orbit layer
+    clusters = cluster_fire_centroids(
+        granule.shape, fire_rows, fire_cols, cfg)
     parts = []
     for ts, aod in granule.layers.items():
         hull_df = identify_layer(
-            aod, granule.lat, granule.lon, fire_rows, fire_cols, cfg
+            aod, granule.lat, granule.lon, fire_rows, fire_cols, cfg,
+            clusters=clusters,
         )
         if hull_df.empty:
             continue

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from plumekit.config.identify import RGIdentifyConfig
 from plumekit.identify.locate import locate_fires_in_image, pad_fires
-from plumekit.identify.pipeline import SweepStatics, cached_sweep_identifier
+from plumekit.identify.pipeline import (SweepStatics,
+                                         cached_sweep_identifier,
+                                         validate_descending_thresholds)
 from plumekit.io.fires import subset_fires_to_image
 from plumekit.ops.cluster import mean_cluster_positions
 from plumekit.ops.geometry import convex_hull_vertices_host
@@ -78,8 +80,6 @@ def identify(
         )
 
     f_rows, f_cols, f_valid = pad_fires(rows, cols, cfg.max_fires)
-    from plumekit.identify.pipeline import validate_descending_thresholds
-
     thresholds = validate_descending_thresholds(cfg.thresholds)
 
     fn = cached_sweep_identifier(_statics(cfg))
@@ -116,9 +116,17 @@ def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
         if ys.size < 3:
             continue
         points = np.column_stack([ys, xs])
+        from scipy.spatial import QhullError
+
         try:
             verts = convex_hull_vertices_host(points)
-        except Exception:  # degenerate (collinear) hulls
+        except QhullError:
+            # degenerate (collinear) plume: no 2-D hull exists — log the
+            # drop so scene plume counts do not shift silently (a broader
+            # except here would also have masked real defects, the exact
+            # SURVEY bug-#7 pattern this module documents avoiding)
+            logger.info("plume at fire %d dropped: degenerate hull "
+                        "(%d collinear pixels)", int(f), ys.size)
             continue
         hy, hx = points[verts, 0], points[verts, 1]
         hull_parts.append(

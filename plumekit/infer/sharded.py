@@ -20,12 +20,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from plumekit.parallel.halo import exchange_halo_block, shard_map
 
 
-def choose_halo(min_halo: int, block_h: int, depth: int) -> int:
-    """Smallest halo ≥ min_halo making (block + 2·halo) divisible by
-    2**depth (the U-Net's downsampling factor)."""
+def choose_halo(min_halo: int, block_h: int, depth: int,
+                block_w: int | None = None) -> int:
+    """Smallest halo ≥ max(min_halo, 1) making (block + 2·halo) divisible
+    by 2**depth (the U-Net's downsampling factor) for the height AND (when
+    given) the width — non-square shards can have different residues, and
+    a width that misses the divisibility fails deep inside apply_fn.
+    Never returns 0: ``block[-0:]`` / ``probs[:-0]`` slicing semantics make
+    a zero halo silently wrong, and make_sharded_infer rejects it."""
     div = 2**depth
-    halo = min_halo
-    while (block_h + 2 * halo) % div:
+    halo = max(min_halo, 1)
+    while ((block_h + 2 * halo) % div
+           or (block_w is not None and (block_w + 2 * halo) % div)):
         halo += 1
     return halo
 
@@ -38,8 +44,13 @@ def make_sharded_infer(
 ):
     """Build ``infer(variables, image (H, W, C)) -> (probs (H, W), mask)``
     with the image sharded over (y, x). H and W must divide by the mesh's
-    y/x sizes and the per-block size plus 2·halo by the U-Net's 2**depth.
+    y/x sizes and the per-block size plus 2·halo by the U-Net's 2**depth
+    (use :func:`choose_halo` with both block dims).
     ``apply_fn(variables, batch, train=False)`` → (B, h, w, 1) logits."""
+    if halo < 1:
+        raise ValueError(
+            "halo must be >= 1 (a zero halo would silently double the "
+            "block through the -0 slice semantics); use choose_halo")
 
     def block_forward(variables, block):
         if halo > min(block.shape[0], block.shape[1]):

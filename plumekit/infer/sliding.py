@@ -27,12 +27,14 @@ from plumekit.config.train import InferConfig
 def _taper(tile: int, overlap: int) -> np.ndarray:
     """1-D weight: linear ramp over the overlap, flat 1 in the core. Ramp
     endpoints are strictly positive so fully-covered pixels never divide by
-    zero."""
+    zero. For deep overlaps (> tile/2) the two ramps meet — combining with
+    ``minimum`` keeps the profile monotone up-then-down (a plain second
+    assignment would leave a discontinuity and blend seams)."""
     w = np.ones(tile, np.float32)
     if overlap > 0:
         ramp = (np.arange(1, overlap + 1, dtype=np.float32)) / (overlap + 1)
-        w[:overlap] = ramp
-        w[-overlap:] = ramp[::-1]
+        w[:overlap] = np.minimum(w[:overlap], ramp)
+        w[-overlap:] = np.minimum(w[-overlap:], ramp[::-1])
     return w
 
 
@@ -73,6 +75,10 @@ def make_sliding_infer(
     slower)."""
     tile = cfg.tile_size
     stride = tile - cfg.overlap
+    if stride < 1:
+        raise ValueError(
+            f"overlap ({cfg.overlap}) must be smaller than tile_size "
+            f"({tile}): the sliding stride would be {stride}")
 
     def _grid_and_weights(h, w, count_padding: bool):
         """Static per-shape geometry: origins (batch-padded), inverse weight
@@ -100,6 +106,13 @@ def make_sliding_infer(
     @partial(jax.jit, static_argnames=())
     def infer(variables, image):
         h, w = image.shape[0], image.shape[1]
+        ph, pw = max(0, tile - h), max(0, tile - w)
+        if ph or pw:
+            # sub-tile image: edge-pad up to one tile (the same replication
+            # pad_to_multiple applies upstream), infer, crop back
+            padded = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            probs, mask = infer(variables, padded)
+            return probs[:h, :w], mask[:h, :w]
 
         def forward_batch(image, batch_origins):
             tiles = jax.vmap(

@@ -11,12 +11,21 @@ from typing import Optional
 import jax
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int) -> None:
+def save_checkpoint(ckpt_dir: str, state, step: int,
+                    overwrite: bool = False) -> None:
+    """``overwrite=False`` makes re-saves idempotent (a resumed run hitting
+    its own checkpoint); the train loop's final best-state save passes
+    ``overwrite=True`` because that step may already hold the degraded
+    post-peak state from a regular checkpoint interval."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     if os.path.exists(path):
-        return  # idempotent re-save (resumed run hitting its own checkpoint)
+        if not overwrite:
+            return
+        shutil.rmtree(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state))
 

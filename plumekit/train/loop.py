@@ -17,7 +17,7 @@ from plumekit.parallel.mesh import make_mesh
 from plumekit.train.checkpoint import save_checkpoint
 from plumekit.train.data import make_synthetic_dataset, tile_batches
 from plumekit.train.state import create_state
-from plumekit.train.step import make_eval_step, make_train_step, shard_batch
+from plumekit.train.step import make_eval_step, make_train_step
 from plumekit.utils import get_logger
 
 logger = get_logger(__name__)
@@ -47,6 +47,7 @@ def train(
     rng, init_rng = jax.random.split(rng)
     state = create_state(init_rng, unet_cfg, train_cfg,
                          axis_name=None)
+    base_rng = rng
 
     # checkpoint resume with deterministic data order (SURVEY.md §5): the
     # batch stream is reseeded from (seed, start_step) so a resumed run sees
@@ -94,11 +95,21 @@ def train(
 
     # stage upcoming batches onto the device while the current step runs
     # (config 5 double buffering; the reference trains nothing and decodes
-    # serially)
+    # serially). On a mesh, stage directly into the batch-sharded layout —
+    # staging to the default device and resharding per step would transfer
+    # every batch twice and serialise the second copy onto the hot path.
+    stage_put = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+        stage_put = lambda xy: tuple(           # noqa: E731
+            jax.device_put(a, batch_sharding) for a in xy)
     batches = device_prefetch(
         tile_batches(train_set, train_cfg.tile_size, train_cfg.batch_size,
                      np_rng),
         buffer_size=2,
+        device_put=stage_put,
     )
     eval_batches = list(
         tile_batches(eval_set, train_cfg.tile_size, train_cfg.batch_size,
@@ -128,10 +139,11 @@ def train(
     best_dev, best_step, misses = -1.0, -1, 0
     best_state = None
     for step_i in range(start_step, train_cfg.total_steps):
-        xs, ys = next(batches)
-        if mesh is not None:
-            xs, ys = shard_batch(mesh, xs, ys)
-        rng, step_rng = jax.random.split(rng)
+        xs, ys = next(batches)   # already batch-sharded on a mesh (above)
+        # counter-based step keys (not a sequential split chain): a resumed
+        # run's step N then uses exactly the key the uninterrupted run used
+        # at step N, like the (seed, start_step)-reseeded data stream
+        step_rng = jax.random.fold_in(base_rng, step_i)
         state, metrics = step_fn(state, xs, ys, step_rng)
         if (step_i + 1) % train_cfg.log_every == 0:
             metrics = jax.device_get(metrics)
@@ -179,7 +191,10 @@ def train(
         # degraded post-peak one
         state = best_state
         if checkpoint:
-            save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1)
+            # overwrite: a regular checkpoint interval may have already
+            # saved the degraded post-peak state at this very step
+            save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1,
+                            overwrite=True)
         logger.info("restored best dev state (step %d, IoU %.3f)",
                     best_step, best_dev)
     history["eval_iou"].append(dev_iou(state))
