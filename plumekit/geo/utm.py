@@ -167,9 +167,17 @@ class UTMResampler:
         self.x_size = int(np.round((self.extent[2] - self.extent[0]) / pixel_size))
         self.y_size = int(np.round((self.extent[3] - self.extent[1]) / pixel_size))
 
+        # pyresample spaces x_size cells evenly over the EXTENT, so the
+        # effective cell size is extent/size, not the nominal pixel_size
+        # (they differ whenever the extent is not an integer multiple) —
+        # using the nominal size would drift cell centers by up to half a
+        # pixel near the far edges vs the reference grid (tools.py:33-50)
+        self.cell_x = (self.extent[2] - self.extent[0]) / self.x_size
+        self.cell_y = (self.extent[3] - self.extent[1]) / self.y_size
+
         # target cell centers (row 0 = max northing, image convention)
-        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * pixel_size
-        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * pixel_size
+        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * self.cell_x
+        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * self.cell_y
         txv, tyv = np.meshgrid(tx, ty)
 
         tree = cKDTree(np.column_stack([x.ravel(), y.ravel()]))

@@ -40,6 +40,7 @@ from plumekit.ops.morphology import binary_opening_cross, binary_dilation_square
 from plumekit.ops.segment import (
     label_window_nearest,
     masked_bbox,
+    masked_centroid,
     masked_moments_cov,
 )
 from plumekit.ops.geometry import principal_axes
@@ -172,7 +173,7 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
 
         # transect profile (CHECK 5/6)
         min_r, min_c, max_r, max_c = masked_bbox(mask)
-        mr, mcarr = _masked_center(mask)
+        mr, mcarr = masked_centroid(mask)
         # minor-axis line: slope dy/dx of the eigvec; division by ~0 yields
         # inf and an empty kept-run, reproducing the reference's reject-path
         slope = v_minor[0] / v_minor[1]
@@ -363,16 +364,6 @@ def _flat_tol(values, valid):
     vmin = jnp.min(jnp.where(valid, values, jnp.inf))
     rng = jnp.where(jnp.isfinite(vmax - vmin), vmax - vmin, 0.0)
     return 32.0 * jnp.float32(1.1920929e-7) * rng
-
-
-def _masked_center(mask):
-    rr = lax.broadcasted_iota(jnp.float32, mask.shape, 0)
-    cc = lax.broadcasted_iota(jnp.float32, mask.shape, 1)
-    n = jnp.maximum(jnp.sum(mask), 1)
-    return (
-        jnp.sum(jnp.where(mask, rr, 0.0)) / n,
-        jnp.sum(jnp.where(mask, cc, 0.0)) / n,
-    )
 
 
 @lru_cache(maxsize=32)

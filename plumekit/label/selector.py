@@ -79,7 +79,14 @@ def subset_plume(aod: np.ndarray, plume_df: pd.DataFrame):
 
 def find_plume_aod(plume_image: np.ndarray, hull_x, hull_y) -> np.ndarray:
     """AOD values of pixels inside the hull (``plume_selector.py:102-116``,
-    Delaunay in-hull ≡ convex-polygon containment)."""
+    Delaunay in-hull ≡ convex-polygon containment).
+
+    Deliberate deviation (quirk #13): the reference builds
+    ``meshgrid(arange(h), arange(w))`` with the ranges swapped relative to
+    their uses, so on non-square crops it silently samples only the
+    ``min(h, w)`` square — in-hull pixels beyond that are never histogrammed
+    and can flip the zero-bin auto-reject. plumekit samples the full crop
+    (the intended behavior); see docs/parity.md."""
     from scipy.spatial import Delaunay
 
     h, w = plume_image.shape
@@ -113,10 +120,14 @@ class PlumeReview:
     auto_rejected: bool
 
 
-def review_plumes(hull_df: pd.DataFrame, granule: Granule) -> List[PlumeReview]:
+def review_plumes(hull_df: pd.DataFrame, granule: Granule,
+                  dedup: bool = True) -> List[PlumeReview]:
     """Deduplicate and prepare every plume for review (the non-interactive
-    core of ``plume_selector.main``, ``plume_selector.py:189-221``)."""
-    hull_df = remove_duplicated_plumes(hull_df)
+    core of ``plume_selector.main``, ``plume_selector.py:189-221``).
+    ``dedup=False`` skips the duplicate pass for callers that already ran
+    :func:`remove_duplicated_plumes` on the frame."""
+    if dedup:
+        hull_df = remove_duplicated_plumes(hull_df)
     out: List[PlumeReview] = []
     for dt in hull_df.datetime.unique():
         aod = granule.layers[dt] if dt in granule.layers else granule.first_layer()
@@ -145,7 +156,7 @@ def apply_decisions(
     rejected) by ``decide`` — auto-rejected plumes never reach ``decide``
     (reference: zero-bin plumes are skipped before display)."""
     hull_df = remove_duplicated_plumes(hull_df)
-    reviews = review_plumes(hull_df, granule)
+    reviews = review_plumes(hull_df, granule, dedup=False)
     kept_keys = {
         (r.plume_id, r.datetime)
         for r in reviews
@@ -172,7 +183,10 @@ def export_review_batch(
     os.makedirs(out_dir, exist_ok=True)
     rows = []
     for r in review_plumes(hull_df, granule):
-        png = f"{granule.name}_{r.datetime}_{r.plume_id}.png"
+        # crop-less plumes (NaN hulls) get no PNG: the manifest column is
+        # empty rather than naming a file that was never written
+        png = (f"{granule.name}_{r.datetime}_{r.plume_id}.png"
+               if r.crop is not None else "")
         if r.crop is not None:
             fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 4))
             vmax = float(r.in_plume_aod.max()) if r.in_plume_aod.size else 1.0

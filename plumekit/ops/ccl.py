@@ -41,7 +41,12 @@ BACKGROUND = 0
 
 def ccl_backend() -> str:
     """'pallas' on real TPU backends, 'xla' on cpu/gpu or when forced via
-    ``PLUMEKIT_CCL=xla`` (escape hatch; both paths are bit-identical)."""
+    ``PLUMEKIT_CCL=xla`` (escape hatch; both paths are bit-identical).
+
+    NOTE: the choice is baked into each jitted program at TRACE time and
+    those programs are cached (``cached_sweep_identifier``, ``jax.jit``) —
+    set the env var before the first identify call in the process;
+    flipping it later does not retrace already-compiled sweeps."""
     import os
 
     if os.environ.get("PLUMEKIT_CCL", "") == "xla":

@@ -81,8 +81,8 @@ def test_reproject_swath_nearest_neighbour_semantics():
 
     # geolocation: centre of the grid maps back near the swath centre
     cy, cx = resampler.y_size // 2, resampler.x_size // 2
-    ty = resampler.extent[3] - (cy + 0.5) * resampler.pixel_size
-    tx = resampler.extent[0] + (cx + 0.5) * resampler.pixel_size
+    ty = resampler.extent[3] - (cy + 0.5) * resampler.cell_y
+    tx = resampler.extent[0] + (cx + 0.5) * resampler.cell_x
     lon, lat = resampler.proj.inverse(tx, ty)
     assert abs(lat - (-10.0)) < 0.5 and abs(lon - (-60.0)) < 0.5
 
@@ -95,8 +95,12 @@ def test_reproject_matches_brute_force_nn():
     sx, sy = proj.forward(swath.lon, swath.lat)
     pts = np.column_stack([sx.ravel(), sy.ravel()])
 
-    tx = resampler.extent[0] + (np.arange(resampler.x_size) + 0.5) * 2000.0
-    ty = resampler.extent[3] - (np.arange(resampler.y_size) + 0.5) * 2000.0
+    # cells are spaced evenly over the EXTENT (pyresample semantics),
+    # so the effective cell size is extent/size, not the nominal 2000 m
+    tx = (resampler.extent[0]
+          + (np.arange(resampler.x_size) + 0.5) * resampler.cell_x)
+    ty = (resampler.extent[3]
+          - (np.arange(resampler.y_size) + 0.5) * resampler.cell_y)
     txv, tyv = np.meshgrid(tx, ty)
     d2 = (
         (pts[None, :, 0] - txv.ravel()[:, None]) ** 2
