@@ -120,7 +120,6 @@ def cmd_build_features(args) -> int:
     from plumekit.config.identify import (BasicIdentifyConfig,
                                           GaussianIdentifyConfig,
                                           RGIdentifyConfig)
-    from plumekit.identify import basic as basic_mod
     from plumekit.identify import rg as rg_mod
     from plumekit.identify import gaussian as gaussian_mod
     from plumekit.io.fires import load_fire_csv
@@ -171,24 +170,17 @@ def cmd_build_features(args) -> int:
                                  base + "_plot.png"),
                 )
         elif args.detector == "basic":
-            import pandas as _pd
+            from plumekit.identify.api import identify as api_identify
 
-            aod = granule.first_layer().copy()
-            aod[aod < 0] = 0.0
-            plume_dict, _img = basic_mod.identify(
-                aod, granule.lat, granule.lon, date, fire_df,
-                BasicIdentifyConfig(),
-            )
-            # the reference's basic main computed CSV paths but never wrote
-            # them (SURVEY.md bug #10) — we write the bboxes
-            hull_df = _pd.DataFrame(
-                [{"id": pid, "plume_min_row": bb["min_r"],
-                  "plume_max_row": bb["max_r"],
-                  "plume_min_col": bb["min_c"],
-                  "plume_max_col": bb["max_c"]}
-                 for pid, bb in plume_dict.items()]
-            )
+            # one basic implementation: the api handles negative-zeroing
+            # and the bbox-row schema; the reference's basic main computed
+            # CSV paths but never wrote them (SURVEY.md bug #10) — we
+            # write the bboxes
+            ps = api_identify(granule, fire_df, date, BasicIdentifyConfig())
+            hull_df = ps.aod_stats
             if args.plot and len(hull_df):
+                aod = granule.first_layer().copy()
+                aod[aod < 0] = 0.0
                 from plumekit.viz import plot_identify_bboxes
 
                 plot_identify_bboxes(
@@ -339,9 +331,16 @@ def cmd_identify(args) -> int:
 
     cfg = {"rg": RGIdentifyConfig(), "gaussian": GaussianIdentifyConfig(),
            "basic": BasicIdentifyConfig()}[args.detector]
+    from plumekit.io.dates import granule_date
+
     granule = load_granule(args.granule)
     fire_df = load_fire_csv(args.fires)
-    ps = identify(granule, fire_df, fire_df.date_time.iloc[0], cfg)
+    # date the scene from the granule FILENAME (MAIAC acq-date) like
+    # build_features does; the fire CSV's first row is only a fallback —
+    # a multi-day CSV would otherwise subset fires to an arbitrary date
+    date = granule_date(os.path.basename(args.granule),
+                        default=fire_df.date_time.iloc[0])
+    ps = identify(granule, fire_df, date, cfg)
     print(f"{len(ps)} plumes")
     if args.out and len(ps.hulls):
         ps.hulls.to_csv(args.out, index=False)
@@ -360,10 +359,34 @@ def cmd_select(args) -> int:
     paths = PathsConfig(root=args.root)
     hull_dir = paths.ensure("hull_df_dir")
     maiac_dir = paths.ensure("maiac_dir")
+    keep_set = None
+    if args.decisions:
+        def truthy(v) -> bool:
+            # a manifest keep column with blanks + 1s reads back as
+            # float64, so str(v) is "1.0" — accept numeric truthiness too
+            sv = str(v).strip().lower()
+            if sv in ("1", "true", "yes", "y"):
+                return True
+            try:
+                return float(sv) == 1.0
+            except ValueError:
+                return False
+
+        dec = pd.read_csv(args.decisions)
+        keep_set = {
+            (int(r.id), str(r.datetime))
+            for r in dec.itertuples() if truthy(r.keep)
+        }
     for fname in sorted(os.listdir(hull_dir)):
         if not fname.endswith("_extent.csv"):
             continue
         hull_df = pd.read_csv(os.path.join(hull_dir, fname))
+        if not {"hull_x", "hull_y"} <= set(hull_df.columns):
+            # the basic detector writes bbox-only extent CSVs into the same
+            # hull_dir — they carry no hulls to curate; skip, don't crash
+            logger.info("%s has no hull columns (basic detector) — "
+                        "skipping curation", fname)
+            continue
         if "datetime" not in hull_df.columns:
             hull_df["datetime"] = "layer0"
         base = fname.replace("_extent.csv", "")
@@ -372,13 +395,7 @@ def cmd_select(args) -> int:
             logger.warning("no granule for %s", fname)
             continue
         granule = load_granule(gpath)
-        if args.decisions:
-            dec = pd.read_csv(args.decisions)
-            keep_set = {
-                (int(r.id), str(r.datetime))
-                for r in dec.itertuples() if str(r.keep).lower() in
-                ("1", "true", "yes", "y")
-            }
+        if keep_set is not None:
             kept, rejected = apply_decisions(
                 hull_df, granule,
                 lambda r: (r.plume_id, r.datetime) in keep_set,

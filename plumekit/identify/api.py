@@ -95,8 +95,13 @@ def identify(
              "plume_min_col": bb["min_c"], "plume_max_col": bb["max_c"]}
             for pid, bb in plume_dict.items()
         ]
+        bbox_cols = ["id", "plume_min_row", "plume_max_row",
+                     "plume_min_col", "plume_max_col"]
         return PlumeSet(
-            aod_stats=pd.DataFrame(rows),
+            # explicit columns: an empty rows list must still write a
+            # CSV with a header (a column-less frame round-trips as
+            # EmptyDataError downstream)
+            aod_stats=pd.DataFrame(rows, columns=bbox_cols),
             hulls=pd.DataFrame(),
             labelled_image=plume_image,
         )

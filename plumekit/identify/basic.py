@@ -130,6 +130,11 @@ def identify(
     else:
         rows = cols = np.zeros((0,), np.int32)
 
+    if len(rows) > cfg.max_fires:
+        # pad_fires truncates silently by contract; warn like rg/gaussian
+        logger.warning(
+            "fire clusters (%d) exceed capacity (%d); truncating",
+            len(rows), cfg.max_fires)
     f_rows, f_cols, f_valid = pad_fires(rows, cols, cfg.max_fires)
     fn = _make_program(cfg)
     out = fn(

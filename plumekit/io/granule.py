@@ -109,7 +109,8 @@ def find_granule(directory: str, base: str):
     return None
 
 
-def read_maiac_hdf4(path: str, max_layers_rule: bool = True) -> Granule:
+def read_maiac_hdf4(path: str, max_layers_rule: bool = True,
+                    correct_orbit_layer: bool = False) -> Granule:
     """Read a real MAIAC MCD19A2 HDF4 granule (requires ``pyhdf``).
 
     Reproduces ``tools.read_modis_aod`` (``tools.py:67-130``): orbit timestamps
@@ -117,6 +118,14 @@ def read_maiac_hdf4(path: str, max_layers_rule: bool = True) -> Granule:
     first "A"(qua) orbit (``tools.py:79-81``); ``Optical_Depth_055`` × 0.001
     with negatives set to −999 (``tools.py:89-90``); lat/lon grid from
     ``StructMetadata.0`` corners via the native sinusoidal inverse.
+
+    COMPAT: when the >4-orbit rule fires, the reference enumerates the
+    *filtered* list, so it stores **layer 0** (possibly a Terra orbit)
+    under the Aqua timestamp (``tools.py:84-90``) — the default reproduces
+    that so outputs match bit-for-bit on real granules.
+    ``correct_orbit_layer=True`` reads the Aqua orbit's true layer index
+    instead (the intended behavior; same compat-flag pattern as
+    ``CompatFlags.pick_larger_mask``).
     """
     import re
 
@@ -130,11 +139,16 @@ def read_maiac_hdf4(path: str, max_layers_rule: bool = True) -> Granule:
     hdf = SD(path, SDC.READ)
     fattrs = hdf.attributes(full=1)
     timestamps = [t for t in fattrs["Orbit_time_stamp"][0].split(" ") if t]
+    indexed = list(enumerate(timestamps))
     if max_layers_rule and len(timestamps) > 4:
-        timestamps = [t for t in timestamps if "A" in t][:1]
+        indexed = [(i, t) for i, t in indexed if "A" in t][:1]
+        if not correct_orbit_layer:
+            # reference quirk: enumerate over the FILTERED list reads
+            # layer 0 regardless of which orbit the timestamp names
+            indexed = [(0, t) for _i, t in indexed]
 
     layers: Dict[str, np.ndarray] = {}
-    for i, timestamp in enumerate(timestamps):
+    for i, timestamp in indexed:
         t = re.search(r"[0-9]{11}[A-Z]", timestamp).group()
         aod = hdf.select("Optical_Depth_055")[i, :, :].astype(np.float32) * AOD_SCALE
         aod[aod < 0] = NULL_VALUE

@@ -123,12 +123,13 @@ def savgol_smooth(values, valid, window: int, polyorder: int):
 
 @jax.jit
 def count_peaks_masked(values, valid, flat_tol=0.0):
-    """Number of ``scipy.signal.find_peaks`` peaks among the valid samples.
+    """Number of ``scipy.signal.find_peaks`` peaks in the COMPACTED valid
+    samples — i.e. ``find_peaks(values[valid])``, the reference semantics
+    (``plume_identifier_gaussian_profile.py:433-435`` gathers the in-mask
+    samples into one array before find_peaks, so peaks can form across a
+    mask gap's junction).
 
     A peak is a strict rise followed (across any plateau) by a strict fall.
-    Invalid samples act as run boundaries (no peaks across or at them),
-    matching scipy on each contiguous valid run.
-
     ``flat_tol`` treats |diff| <= flat_tol as plateau. With 0 this is exact
     scipy semantics; the identify pipeline passes a few-ULP tolerance so that
     fp32 rounding ripple in near-flat regions cannot mint spurious peaks
@@ -136,24 +137,26 @@ def count_peaks_masked(values, valid, flat_tol=0.0):
     decisions on real data are unchanged).
     """
     v = values
-    d = v[1:] - v[:-1]
-    dvalid = valid[1:] & valid[:-1]
-    sign = jnp.where(jnp.abs(d) <= flat_tol, 0.0, jnp.sign(d))
-    sign = jnp.where(dvalid, sign, 0.0)
-    # barrier at invalid diffs: reset the forward-fill so rises can't pair
-    # with falls across a gap
-    is_set = (sign != 0.0) | ~dvalid
 
     def combine(a, b):
         av, af = a
         bv, bf = b
         return jnp.where(bf, bv, av), af | bf
 
-    reset_val = jnp.where(dvalid, sign, 0.0)
-    ff, _ = lax.associative_scan(combine, (reset_val, is_set))
-    # peak between diff i-1 and i: previous filled sign +1, current sign -1
+    # forward-fill of the last valid value; shifted, it gives each valid
+    # sample its compacted-sequence predecessor (gaps skipped, not reset)
+    fv, fhas = lax.associative_scan(
+        combine, (jnp.where(valid, v, 0.0), valid))
+    prev_v = jnp.concatenate([jnp.zeros((1,), fv.dtype), fv[:-1]])
+    prev_has = jnp.concatenate([jnp.zeros((1,), jnp.bool_), fhas[:-1]])
+    dvalid = valid & prev_has
+    d = v - prev_v
+    sign = jnp.where(jnp.abs(d) <= flat_tol, 0.0, jnp.sign(d))
+    sign = jnp.where(dvalid, sign, 0.0)
+    ff, _ = lax.associative_scan(combine, (sign, sign != 0.0))
+    # peak: this compacted diff falls, the previous nonzero one rose
     prev = jnp.concatenate([jnp.zeros((1,), ff.dtype), ff[:-1]])
-    peaks = (sign < 0) & (prev > 0) & dvalid
+    peaks = (sign < 0) & (prev > 0)
     return jnp.sum(peaks)
 
 
@@ -176,11 +179,16 @@ def line_transect(aod, slope, intercept, min_r, min_c, max_r, max_c,
     x = min_c + (max_c - min_c) * t
     y = slope * x + intercept
     valid = (y > min_r) & (y < max_r)
+    # scipy's default mode='constant' (cval 0) returns 0 for ANY coordinate
+    # outside the image extent [0, n-1] (no edge blending — verified against
+    # scipy), and edge-abutting plumes (half-open bbox => max_c can equal W)
+    # do sample past the last column; a bare clamp pinned those samples to
+    # the edge pixel and diverged from the oracle there
+    h, w = aod.shape
+    inb = (y >= 0) & (y <= h - 1) & (x >= 0) & (x <= w - 1)
     samples = jax.scipy.ndimage.map_coordinates(
-        aod, [jnp.clip(y, 0, aod.shape[0] - 1), jnp.clip(x, 0, aod.shape[1] - 1)],
-        order=1,
-    )
-    return samples, valid
+        aod, [jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)], order=1)
+    return jnp.where(inb, samples, 0.0), valid
 
 
 @partial(jax.jit, static_argnames=("n_samples",))

@@ -127,6 +127,18 @@ def test_more_than_four_orbits_keeps_first_aqua(fake_pyhdf):
     assert g.layers["20172300330A"][1, 1] == pytest.approx(0.1)  # layer 0
 
 
+def test_correct_orbit_layer_reads_the_aqua_layer(fake_pyhdf):
+    # compat flag off the quirk: the Aqua timestamp gets ITS layer (index
+    # 2), not layer 0 — the intended behavior (same compat-flag pattern as
+    # CompatFlags.pick_larger_mask)
+    fake_pyhdf(
+        "20172300010T 20172300150T 20172300330A 20172300510T 20172300650A"
+    )
+    g = read_maiac_hdf4("fake_granule.hdf", correct_orbit_layer=True)
+    assert list(g.layers) == ["20172300330A"]
+    assert g.layers["20172300330A"][1, 1] == pytest.approx(0.3)  # layer 2
+
+
 def test_rule_disabled_keeps_all_layers(fake_pyhdf):
     fake_pyhdf(
         "20172300010T 20172300150T 20172300330A 20172300510T 20172300650A"

@@ -67,11 +67,45 @@ def test_peak_count_with_plateaus():
     assert got == ref
 
 
-def test_peak_count_masked_run():
+def test_peak_count_masked_compacts_across_gaps():
+    # reference semantics: find_peaks runs on the GATHERED in-mask samples
+    # (oracle_gaussian.py), so peaks can form across a gap's junction
     x = np.array([0, 3, 0, 9, 9, 9, 0, 2, 0], dtype=np.float32)
     valid = np.array([1, 1, 1, 0, 0, 0, 1, 1, 1], dtype=bool)
-    # two valid runs [0,3,0] and [0,2,0] -> 2 peaks
-    assert int(count_peaks_masked(jnp.asarray(x), jnp.asarray(valid))) == 2
+    ref = len(signal.find_peaks(x[valid])[0])
+    assert int(count_peaks_masked(jnp.asarray(x), jnp.asarray(valid))) == ref
+    # junction case: run 1 ends rising, run 2 starts falling -> one peak
+    # exists only in the compacted view
+    x2 = np.array([0, 3, 9, 9, 2, 0], dtype=np.float32)
+    v2 = np.array([1, 1, 0, 0, 1, 1], dtype=bool)
+    ref2 = len(signal.find_peaks(x2[v2])[0])
+    assert ref2 == 1
+    assert int(count_peaks_masked(jnp.asarray(x2), jnp.asarray(v2))) == ref2
+
+
+def test_peak_count_masked_random_vs_scipy_compacted():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        x = rng.random(80).astype(np.float32)
+        valid = rng.random(80) > 0.3
+        ref = len(signal.find_peaks(x[valid])[0])
+        got = int(count_peaks_masked(jnp.asarray(x), jnp.asarray(valid)))
+        assert got == ref
+
+
+def test_line_transect_constant_boundary_matches_scipy():
+    # edge-abutting plumes sample past the image (half-open bbox): scipy's
+    # default constant-0 boundary must be reproduced, not an edge clamp
+    rng = np.random.default_rng(3)
+    aod = rng.random((32, 32)).astype(np.float32) + 0.5
+    m, b = 0.1, 28.0
+    samples, valid = line_transect(
+        jnp.asarray(aod), m, b, 0.0, 20.0, 33.0, 34.0, n_samples=200)
+    x = np.linspace(20.0, 34.0, 200)
+    y = m * x + b
+    ref = ndimage.map_coordinates(aod, (y, x), order=1)
+    np.testing.assert_allclose(np.asarray(samples), ref, rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_line_transect_matches_map_coordinates(rng):
