@@ -188,18 +188,21 @@ def fused_double_conv3x3_bn_relu(x, w1, scale1, shift1, w2, scale2, shift2,
         tm //= 2
     eligible = (
         cin % 128 == 0 and cmid % 128 == 0 and cout % 128 == 0
-        and h % tm == 0
+        and tm >= 8        # awkward heights reduce tm to 1 — fall back
     )
     if not (interpret or force_pallas or eligible):
         y = conv3x3_bn_relu_xla(x, w1, scale1, shift1)
         return conv3x3_bn_relu_xla(y, w2, scale2, shift2)
 
     # halo 2 (two stacked 3x3 convs); right pad so W_pad is a sublane
-    # multiple; bottom pad covers the slab over-read
+    # multiple; bottom pad covers the slab over-read INCLUDING the +16
+    # sublane slack (at w_pad=8 the last tile's DMA reads 2 rows past a
+    # 3-row pad — pad ceil(16/w_pad) extra rows)
     w_pad = ((wd + 4 + 7) // 8) * 8
     slab = (tm + 4) * w_pad + 16
-    xp = jnp.pad(x, ((0, 0), (2, 3), (2, w_pad - wd - 2), (0, 0)))
-    xflat = xp.reshape(b, (h + 5) * w_pad, cin)
+    extra = -(-16 // w_pad)
+    xp = jnp.pad(x, ((0, 0), (2, 3 + extra), (2, w_pad - wd - 2), (0, 0)))
+    xflat = xp.reshape(b, (h + 5 + extra) * w_pad, cin)
 
     kern = partial(_double_kernel, tile_rows=tm, w_pad=w_pad, cmid=cmid,
                    cout=cout, slab=slab, width=wd, height=h,
@@ -266,7 +269,7 @@ def fused_conv3x3_bn_relu(x, w, scale, shift, tile_rows: int = 16,
     tm = tile_rows
     while tm > 1 and h % tm:
         tm //= 2
-    eligible = (cin % 128 == 0) and (cout % 128 == 0) and (h % tm == 0)
+    eligible = (cin % 128 == 0) and (cout % 128 == 0) and tm >= 8
     if not (interpret or force_pallas or eligible):
         return conv3x3_bn_relu_xla(x, w, scale, shift)
 

@@ -53,7 +53,9 @@ int32_t plumekit_ccl_label(const uint8_t* mask, int32_t h, int32_t w,
   for (int32_t r = 0; r < h; ++r) {
     const uint8_t* row = mask + static_cast<size_t>(r) * w;
     int32_t* prow = prov.data() + static_cast<size_t>(r) * w;
-    const int32_t* prev = prov.data() + static_cast<size_t>(r - 1) * w;
+    // computed only when a previous row exists: forming the r-1 pointer at
+    // r==0 would be out-of-range pointer arithmetic (UB even undereferenced)
+    const int32_t* prev = (r > 0) ? prow - w : nullptr;
     for (int32_t c = 0; c < w; ++c) {
       if (!row[c]) continue;
       int32_t lbl = -1;
@@ -74,7 +76,7 @@ int32_t plumekit_ccl_label(const uint8_t* mask, int32_t h, int32_t w,
       if (lbl < 0) {
         lbl = next++;
         if (static_cast<size_t>(next) >= uf.parent.size())
-          uf.parent.push_back(next - 1);  // keep capacity (self-rooted)
+          uf.parent.push_back(next);  // grow self-rooted (value == index)
       }
       prow[c] = lbl;
     }

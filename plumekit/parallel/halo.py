@@ -35,6 +35,13 @@ def _shift(x, axis_name: str, direction: int):
 def exchange_halo_block(block, halo: int, axis_names=("y", "x")):
     """Inside shard_map: (h, w, ...) local block → (h + 2·halo, w + 2·halo,
     ...) with neighbour halos (zeros at mesh edges)."""
+    if halo < 1:
+        # block[-0:] would select the WHOLE block and double every shard
+        raise ValueError(f"halo must be >= 1, got {halo}")
+    if halo > min(block.shape[0], block.shape[1]):
+        raise ValueError(
+            f"halo {halo} exceeds the local block {block.shape[:2]}; "
+            "use fewer shards or a larger image")
     ay, ax = axis_names
     # phase 1: rows. Sending my last rows "down" (+1) means every shard
     # receives its upper neighbour's last rows — the top halo; ppermute
@@ -55,7 +62,10 @@ def halo_pad(mesh: Mesh, x, halo: int):
     users want :func:`plumekit.infer.sharded.sharded_apply` instead."""
     ny = mesh.shape["y"]
     nx = mesh.shape["x"]
-    h, w = x.shape[0] // ny, x.shape[1] // nx
+    if x.shape[0] % ny or x.shape[1] % nx:
+        raise ValueError(
+            f"array {x.shape[:2]} does not divide by the mesh "
+            f"({ny}, {nx}); pad the raster first")
 
     def body(blk):
         return exchange_halo_block(blk, halo)[None, None]

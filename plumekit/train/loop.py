@@ -64,7 +64,7 @@ def train(
 
     step_fn = make_train_step(train_cfg.dice_weight, train_cfg.augment, mesh,
                               label_smooth=train_cfg.label_smooth)
-    eval_fn = make_eval_step()
+    eval_fn = make_eval_step(train_cfg.dice_weight)
 
     if datasets is not None:
         # explicit (train_set, eval_set) GranuleSample lists — the

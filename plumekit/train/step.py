@@ -71,14 +71,17 @@ def make_train_step(dice_weight: float = 0.5, augment: bool = True,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step():
+def make_eval_step(dice_weight: float = 0.5):
+    """``dice_weight`` must match the training objective — an eval loss
+    computed with a different mix is not comparable to the train loss and
+    would mislead any loss-based model selection."""
     def eval_step(state: TrainState, xs, ys):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         logits = state.apply_fn(variables, xs, train=False)
         return {
-            "loss": dice_bce_loss(logits, ys),
+            "loss": dice_bce_loss(logits, ys, dice_weight=dice_weight),
             "iou": iou(jax.nn.sigmoid(logits) > 0.5, ys > 0.5),
         }
 
