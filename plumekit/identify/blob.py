@@ -72,11 +72,19 @@ def _local_max_3d(stack, threshold):
     return is_max & (stack > threshold)
 
 
-def _extract(maxima, sigmas, max_blobs: int):
-    """Pack scale-space maxima into (N, 3) [row, col, sigma] host-side."""
+def _extract(maxima, sigmas, max_blobs: int, stack=None):
+    """Pack scale-space maxima into (N, 3) [row, col, sigma] host-side.
+
+    When the budget binds, the STRONGEST responses are kept (ordering by
+    scale index alone let >max_blobs small-sigma speckle maxima crowd out
+    genuine large-scale blobs)."""
     m = np.asarray(maxima)
     ss, ys, xs = np.nonzero(m)
-    order = np.argsort(ss)[:max_blobs]
+    if stack is not None and len(ss) > max_blobs:
+        resp = np.asarray(stack)[ss, ys, xs]
+        order = np.argsort(-resp)[:max_blobs]
+    else:
+        order = np.argsort(ss)[:max_blobs]
     return np.column_stack(
         [ys[order], xs[order], np.asarray(sigmas)[ss[order]]]
     ).astype(np.float32)
@@ -105,7 +113,7 @@ def blob_log(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
     )
     stack = _log_stack(jnp.asarray(image, jnp.float32), sigmas)
     maxima = _local_max_3d(stack, cfg.threshold_log)
-    blobs = _extract(maxima, sigmas, max_blobs)
+    blobs = _extract(maxima, sigmas, max_blobs, stack=stack)
     blobs[:, 2] *= np.sqrt(2.0)  # radius = sigma * sqrt(2) (reference :43)
     return blobs
 
@@ -124,7 +132,7 @@ def blob_dog(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
         [(blurred[i] - blurred[i + 1]) / (sigma_ratio - 1.0) for i in range(k)]
     )
     maxima = _local_max_3d(dogs, cfg.threshold_dog)
-    blobs = _extract(maxima, tuple(sigmas[:k]), max_blobs)
+    blobs = _extract(maxima, tuple(sigmas[:k]), max_blobs, stack=dogs)
     blobs[:, 2] *= np.sqrt(2.0)
     return blobs
 
@@ -146,5 +154,6 @@ def blob_doh(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
             - _shift(b, 1, -1) - _shift(b, -1, 1)
         )
         outs.append((dxx * dyy - dxy**2) * s**4)
-    maxima = _local_max_3d(jnp.stack(outs), cfg.threshold_doh)
-    return _extract(maxima, sigmas, max_blobs)
+    hstack = jnp.stack(outs)
+    maxima = _local_max_3d(hstack, cfg.threshold_doh)
+    return _extract(maxima, sigmas, max_blobs, stack=hstack)

@@ -108,9 +108,15 @@ def raster_cluster_centroids(shape: Tuple[int, int], rows, cols, valid,
 
     h, w = shape
     grid = jnp.zeros((h, w), dtype=bool)
-    safe_r = jnp.where(valid, rows, 0)
+    # route INVALID slots out of bounds so mode="drop" discards them: the
+    # old scatter wrote False at (0, 0) for every padding slot, and XLA's
+    # duplicate-index set order is undefined — a real fire rasterised at
+    # (0, 0) could be erased nondeterministically
+    oob_r = jnp.where(valid, rows, h)
+    oob_c = jnp.where(valid, cols, w)
+    grid = grid.at[oob_r, oob_c].set(True, mode="drop")
+    safe_r = jnp.where(valid, rows, 0)     # clamped for the gather below
     safe_c = jnp.where(valid, cols, 0)
-    grid = grid.at[safe_r, safe_c].set(valid, mode="drop")
 
     from plumekit.ops.pallas.ccl_sweep import (
         multi_threshold_ccl, sweep_fits_vmem)

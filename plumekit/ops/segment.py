@@ -98,12 +98,19 @@ def label_window_nearest(labels, r, c, win_half: int):
     ``plume_identifier_rg.py:122-125``).
     """
     size = 2 * win_half + 1
-    dist = jnp.asarray(window_distance_matrix(win_half))
-    win = lax.dynamic_slice(
-        labels,
-        (jnp.maximum(r - win_half, 0), jnp.maximum(c - win_half, 0)),
-        (size, size),
-    )
+    # the slice start clamps at both image edges (dynamic_slice clamps the
+    # high end implicitly) — distances are measured from the fire's ACTUAL
+    # offset inside the window, so a clamped window is still correct (the
+    # reference's precomputed centered matrix assumed in-bounds fires; for
+    # those this reduces to exactly window_distance_matrix)
+    start_r = jnp.clip(r - win_half, 0, labels.shape[0] - size)
+    start_c = jnp.clip(c - win_half, 0, labels.shape[1] - size)
+    win = lax.dynamic_slice(labels, (start_r, start_c), (size, size))
+    rr = jnp.arange(size, dtype=jnp.float32)[:, None] - (
+        r - start_r).astype(jnp.float32)
+    cc = jnp.arange(size, dtype=jnp.float32)[None, :] - (
+        c - start_c).astype(jnp.float32)
+    dist = jnp.sqrt(rr * rr + cc * cc)
     fg = win != BACKGROUND
     masked = jnp.where(fg, dist, jnp.inf).reshape(-1)
     idx = jnp.argmin(masked)

@@ -53,9 +53,11 @@ def assemble_channels(aod: np.ndarray, rows, cols) -> np.ndarray:
     return np.stack([aod, fire], axis=-1).astype(np.float32)
 
 
-def scene_to_sample(scene, normalize: bool = True) -> GranuleSample:
+def scene_to_sample(scene) -> GranuleSample:
     """Synthetic scene → (AOD, fire) channels + GT mask. Null pixels are
-    zeroed in the AOD channel (the model sees physical AOD ∈ [0, ~2])."""
+    zeroed in the AOD channel (the model sees physical AOD ∈ [0, ~2]).
+    Fire-density normalisation happens inside ``assemble_channels``
+    unconditionally (a dead ``normalize`` flag used to suggest otherwise)."""
     lat, lon = scene.granule.lat, scene.granule.lon
     # fire pixels from the fire table (nearest grid cell by construction)
     rows, cols = [], []
@@ -143,16 +145,34 @@ def tile_batches(
     (B, tile, tile, C) channels and (B, tile, tile, 1) masks. Sampling is
     plume-biased: half the tiles are centred near mask pixels so the loss
     sees positives (plumes are sparse in full granules)."""
+    if not samples:
+        raise ValueError(
+            "tile_batches got an empty sample list — for curated training "
+            "run 'plumekit prepare_model_data' first")
+    # sub-tile granules are edge-padded up to one tile (channels replicate,
+    # masks zero-fill); the plume-pixel index is precomputed once per
+    # sample (np.nonzero over a 1200-square mask per draw was the hot-path
+    # cost of plume-biased sampling)
+    prepped = []
+    for s in samples:
+        h, w = s.channels.shape[:2]
+        if h < tile or w < tile:
+            ph, pw = max(0, tile - h), max(0, tile - w)
+            s = GranuleSample(
+                channels=np.pad(s.channels, ((0, ph), (0, pw), (0, 0)),
+                                mode="edge"),
+                mask=np.pad(s.mask, ((0, ph), (0, pw))),
+            )
+        prepped.append((s, np.nonzero(s.mask)))
     count = 0
     while steps is None or count < steps:
-        xs = np.empty((batch_size, tile, tile, samples[0].channels.shape[-1]),
-                      np.float32)
+        xs = np.empty((batch_size, tile, tile,
+                       prepped[0][0].channels.shape[-1]), np.float32)
         ys = np.empty((batch_size, tile, tile, 1), np.float32)
         for b in range(batch_size):
-            s = samples[rng.integers(len(samples))]
+            s, (pys, pxs) = prepped[rng.integers(len(prepped))]
             h, w = s.channels.shape[:2]  # curated granules may vary in size
-            if rng.random() < 0.5 and s.mask.any():
-                pys, pxs = np.nonzero(s.mask)
+            if rng.random() < 0.5 and len(pys):
                 k = rng.integers(len(pys))
                 cy = int(np.clip(pys[k] - tile // 2 + rng.integers(-8, 9),
                                  0, h - tile))
