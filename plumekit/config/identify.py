@@ -23,8 +23,10 @@ import numpy as np
 class CompatFlags:
     """Opt-in reproduction of reference bugs (SURVEY.md §7 bug register).
 
-    Defaults reproduce the reference's *intended* behavior; flip a flag to get
-    its *committed* behavior instead.
+    Each flag documents which side its default sits on — the defaults match
+    what the parity oracles pin (``pick_larger_mask=True`` is the reference's
+    COMMITTED behavior, ``reject_last_threshold=True`` is its INTENDED one);
+    read the per-field notes before flipping anything.
     """
 
     #: Reference comment says "select the smaller plume mask" but the code

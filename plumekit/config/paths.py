@@ -9,14 +9,17 @@ user of the reference finds the same structure.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 @dataclass
 class PathsConfig:
     """Workspace layout rooted at ``root`` (reference ``filepaths.py:7``)."""
 
-    root: str = os.environ.get("PLUMEKIT_ROOT", "data")
+    #: read at CONSTRUCTION time (a class-body default would
+    #: freeze the env var as of first import)
+    root: str = field(default_factory=lambda: os.environ.get(
+        "PLUMEKIT_ROOT", "data"))
 
     # plume identification tree (reference plume_identifier_rg.py:525-529)
     maiac_dir: str = "raw/plume_identification/maiac"

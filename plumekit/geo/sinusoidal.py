@@ -26,9 +26,17 @@ SINU_RADIUS_M = 6371007.181
 
 
 def sinusoidal_to_wgs84(x, y, *, xp=np):
-    """Meters in the MODIS sinusoidal grid → (lon, lat) in degrees."""
+    """Meters in the MODIS sinusoidal grid → (lon, lat) in degrees.
+
+    At the poles cos(lat) → 0: longitudes there are returned as NaN (the
+    reference's pyproj path returns inf) rather than silently huge finite
+    values that would poison downstream distance math; |y| beyond the
+    polar extent also yields NaN lon."""
     lat = y / SINU_RADIUS_M
-    lon = x / (SINU_RADIUS_M * xp.cos(lat))
+    cosl = xp.cos(lat)
+    polar = xp.abs(cosl) < 1e-9
+    lon = xp.where(polar, xp.nan, x / (SINU_RADIUS_M
+                                       * xp.where(polar, 1.0, cosl)))
     return xp.degrees(lon), xp.degrees(lat)
 
 

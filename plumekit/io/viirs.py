@@ -158,13 +158,14 @@ def write_quicklooks(base: str, rasters: Dict[str, np.ndarray],
                      blue_dir: str, tcc_dir: str) -> None:
     """The blue-channel and true-colour-composite PNGs the reference's
     ``reprojected_viirs/{blue,tcc}`` directories reserve."""
-    import matplotlib
+    from plumekit.viz.plots import _plt
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    plt = _plt()
 
     def norm(a):
         v = np.where(a == FILL_VALUE, np.nan, a)
+        if not np.isfinite(v).any():      # fully off-grid channel
+            return np.zeros_like(a, dtype=np.float32)
         lo, hi = np.nanmin(v), np.nanmax(v)
         return np.nan_to_num((v - lo) / max(hi - lo, 1e-9))
 

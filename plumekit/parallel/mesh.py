@@ -35,7 +35,12 @@ def init_distributed(coordinator: Optional[str] = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        pass  # single-process / already initialised
+        if coordinator is not None:
+            # an explicitly requested cluster join that fails must not
+            # silently degrade to single-host (each host would train its
+            # own model and fight over checkpoints)
+            raise
+        pass  # env provides no cluster / already initialised
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,

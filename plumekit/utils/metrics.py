@@ -25,8 +25,28 @@ class MetricsWriter:
         new = self._fields is None
         if new:
             self._fields = list(row)
+        elif any(k not in self._fields for k in row):
+            # a later run (e.g. a resume with eval enabled) logs new keys:
+            # extend the header by rewriting the file — silently dropping
+            # the new columns would record nothing for them forever
+            import os as _os
+
+            extended = self._fields + [k for k in row
+                                       if k not in self._fields]
+            if _os.path.exists(self.path):
+                with open(self.path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+            else:
+                old_rows = []
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=extended, restval="")
+                w.writeheader()
+                for r in old_rows:
+                    w.writerow(r)
+            self._fields = extended
         with open(self.path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
+            w = csv.DictWriter(f, fieldnames=self._fields, restval="",
+                               extrasaction="ignore")
             if new:
                 w.writeheader()
             w.writerow(row)

@@ -44,6 +44,18 @@ class Timer:
         return False
 
 
+class _StageHandle:
+    """Mutable carrier so a stage block can register its device result
+    for synchronisation: ``with st.stage('fwd') as h: h.sync(f(x))``."""
+
+    def __init__(self):
+        self.value = None
+
+    def sync(self, value):
+        self.value = value
+        return value
+
+
 class StageTimes:
     """Accumulates named stage durations; ``sync=`` forces device completion."""
 
@@ -53,12 +65,19 @@ class StageTimes:
 
     @contextmanager
     def stage(self, name: str, sync=None):
+        """``sync=`` accepts a value that exists BEFORE the block; to time
+        work produced inside it, call ``handle.sync(result)`` on the
+        yielded handle (under async dispatch, timing without a sync on the
+        block's own output excludes nearly all device compute)."""
+        handle = _StageHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
             if sync is not None:
                 _sync(sync)
+            if handle.value is not None:
+                _sync(handle.value)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
