@@ -1,5 +1,6 @@
 .PHONY: requirements data features train predict select model_data \
-	viirs clean lint test bench help
+	viirs clean lint test bench tpu_test help create_environment \
+	test_environment
 
 PYTHON_INTERPRETER = python
 ROOT ?= data
@@ -50,9 +51,25 @@ lint:
 test:
 	$(PYTHON_INTERPRETER) -m pytest tests/ -q
 
-## Run the benchmark (one JSON line)
-bench:
+## On-chip parity tests (real TPU; the main suite forces CPU)
+tpu_test:
+	PLUMEKIT_RUN_TPU=1 $(PYTHON_INTERPRETER) -m pytest tests/test_tpu_only.py \
+		-q -p no:cacheprovider --noconftest
+
+## Run the benchmark (one JSON line); on a TPU session the on-chip
+## parity tests gate the number — a Mosaic regression fails the target
+bench: tpu_test
 	$(PYTHON_INTERPRETER) bench.py
+
+## Environment bootstrap parity (reference Makefile:60-77 created a
+## python=2.7 conda env; plumekit targets the already-provisioned
+## interpreter, so this just verifies it)
+create_environment: test_environment
+	@echo ">>> plumekit uses the active interpreter; no env created."
+
+## Reference Makefile:76-77 analogue (checks Python >= 3.10 + deps)
+test_environment:
+	$(PYTHON_INTERPRETER) -m pytest tests/test_environment.py -q
 
 ## Build the native library
 native:

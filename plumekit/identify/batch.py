@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.6 stable API
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from functools import lru_cache
 
@@ -59,7 +63,7 @@ def make_batch_identifier(statics: SweepStatics, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(spec, spec, rep, spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

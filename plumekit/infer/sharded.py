@@ -30,9 +30,18 @@ def choose_halo(min_halo: int, block_h: int, depth: int,
     a zero halo silently wrong, and make_sharded_infer rejects it."""
     div = 2**depth
     halo = max(min_halo, 1)
+    # 2·halo only steps through even offsets, so block dims with odd div
+    # residues (or mismatched residues mod div) can be unsatisfiable —
+    # after div extra steps 2·halo has cycled every reachable residue class
+    limit = halo + div
     while ((block_h + 2 * halo) % div
            or (block_w is not None and (block_w + 2 * halo) % div)):
         halo += 1
+        if halo > limit:
+            raise ValueError(
+                f"no halo >= {max(min_halo, 1)} makes blocks "
+                f"({block_h}, {block_w}) + 2*halo divisible by {div}; "
+                "pad the image or choose a different shard grid")
     return halo
 
 

@@ -635,6 +635,11 @@ def make_mega_apply(cfg, dbg: str | None = None,
                   if interpret is None else interpret)
 
         b, h, wd, cin = x.shape
+        if cin != cfg.in_channels:
+            raise ValueError(
+                f"input has {cin} channels but the config declares "
+                f"{cfg.in_channels}; the megakernel packs weights from the "
+                "config, so a mismatch cannot fall through to XLA silently")
         if not mega_eligible(cfg, h, wd):
             raise ValueError(
                 f"megakernel ineligible for shape {(h, wd)} / config "

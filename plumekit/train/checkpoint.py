@@ -25,7 +25,20 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
     if os.path.exists(path):
         if not overwrite:
             return
-        shutil.rmtree(path)
+        # never delete the existing checkpoint before the replacement is
+        # safely on disk: save to a .tmp sibling (latest_step ignores those),
+        # move the old one aside, swap the new one in, then drop the old
+        tmp = path + ".tmp"
+        old = path + ".old.tmp"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(tmp, jax.device_get(state))
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state))
 

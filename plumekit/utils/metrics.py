@@ -38,11 +38,15 @@ class MetricsWriter:
                     old_rows = list(csv.DictReader(f))
             else:
                 old_rows = []
-            with open(self.path, "w", newline="") as f:
+            # rewrite via a temp file + atomic replace so a crash mid-rewrite
+            # can't lose the run's whole metrics history
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=extended, restval="")
                 w.writeheader()
                 for r in old_rows:
                     w.writerow(r)
+            _os.replace(tmp, self.path)
             self._fields = extended
         with open(self.path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fields, restval="",
