@@ -70,6 +70,69 @@ def cmd_make_dataset(args) -> int:
             out = os.path.join(sdr_dir, swath.name + ".npz")
             save_swath(out, swath)
             logger.info("wrote %s %s", out, swath.shape)
+
+    if args.viirs_aod_pairs:
+        from plumekit.io.viirs_aod import (make_synthetic_ivaot_scene,
+                                           write_synthetic_pair)
+
+        aod_dir = paths.ensure("viirs_aod_dir")
+        geo_dir = paths.ensure("viirs_geo_dir")
+        pair_fires = []
+        for i in range(args.viirs_aod_pairs):
+            stamp, aod, vlat, vlon, vfires, _ = make_synthetic_ivaot_scene(
+                seed=args.seed + i)
+            ap, gp = write_synthetic_pair(aod_dir, geo_dir, stamp, aod,
+                                          vlat, vlon)
+            pair_fires.append(vfires)
+            logger.info("wrote %s + geo", os.path.basename(ap))
+        vdf = pd.concat(pair_fires, ignore_index=True)
+        vcsv = os.path.join(fires_dir, "fires_viirs_aod.csv")
+        vdf.drop(columns=["date_time"]).to_csv(vcsv, index=False)
+        logger.info("wrote %s (%d rows)", vcsv, len(vdf))
+    return 0
+
+
+def cmd_identify_viirs(args) -> int:
+    """The reference notebook's workflow ("Identifying plumes from AOD and
+    Active Fires", cells 4-25): IVAOT/GMTCO h5 pairs → 750 m UTM resample →
+    fixed-threshold identify → per-granule plume bbox CSVs + labelled masks
+    under ``raw/viirs/masks`` (``filepaths.py:21-23``)."""
+    import pandas as pd
+
+    from plumekit.io.fires import load_fire_csv
+    from plumekit.io.viirs_aod import identify_viirs_aod, pair_granules
+
+    paths = PathsConfig(root=args.root)
+    aod_dir = paths.ensure("viirs_aod_dir")
+    geo_dir = paths.ensure("viirs_geo_dir")
+    masks_dir = paths.ensure("viirs_masks_dir")
+    fire_csv = args.fires or os.path.join(paths.ensure("fires_dir"),
+                                          "fires_viirs_aod.csv")
+    fire_df = load_fire_csv(fire_csv)
+
+    pairs = pair_granules(aod_dir, geo_dir)
+    if not pairs:
+        logger.warning("no IVAOT/GMTCO pairs under %s / %s", aod_dir,
+                       geo_dir)
+        return 1
+    for pair in pairs:
+        base = os.path.splitext(os.path.basename(pair["aod"]))[0]
+        out_csv = os.path.join(masks_dir, base + "_plumes.csv")
+        if os.path.exists(out_csv):
+            logger.info("%s already identified, continuing...", base)
+            continue
+        plume_dict, plume_image, aod_r, _ = identify_viirs_aod(
+            pair["aod"], pair["geo"], fire_df,
+            pixel_size_m=args.pixel_size)
+        rows = [
+            {"plume_id": pid, **bbox} for pid, bbox in plume_dict.items()
+        ]
+        pd.DataFrame(rows, columns=["plume_id", "min_r", "min_c", "max_r",
+                                    "max_c"]).to_csv(out_csv, index=False)
+        np.savez_compressed(os.path.join(masks_dir, base + "_mask.npz"),
+                            plume_image=plume_image,
+                            aod=np.nan_to_num(aod_r, nan=-999.0))
+        logger.info("%s: %d plume(s) → %s", base, len(plume_dict), out_csv)
     return 0
 
 
@@ -429,6 +492,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--viirs-swaths", type=int, default=0,
                    help="also write N synthetic VIIRS SDR swaths "
                         "(raw/viirs/sdr, reference filepaths.py:13)")
+    d.add_argument("--viirs-aod-pairs", type=int, default=0,
+                   help="also write N synthetic IVAOT/GMTCO h5 pairs "
+                        "(raw/viirs/{aod,geo}, reference filepaths.py:21-22)")
     d.set_defaults(fn=cmd_make_dataset)
 
     rv = sub.add_parser("resample_viirs",
@@ -442,6 +508,17 @@ def build_parser() -> argparse.ArgumentParser:
     rv.add_argument("--quicklooks", action="store_true",
                     help="also write blue/tcc PNGs (filepaths.py:14-15)")
     rv.set_defaults(fn=cmd_resample_viirs)
+
+    iv = sub.add_parser("identify_viirs",
+                        help="notebook workflow: IVAOT/GMTCO AOD pairs → "
+                             "UTM resample → basic identify → plume masks")
+    _add_root(iv)
+    iv.add_argument("--fires", default=None,
+                    help="FIRMS fire CSV (defaults to "
+                         "raw/fires/fires_viirs_aod.csv)")
+    iv.add_argument("--pixel-size", type=float, default=750.0,
+                    help="UTM grid pixel size in meters (notebook cell 10)")
+    iv.set_defaults(fn=cmd_identify_viirs)
 
     f = sub.add_parser("build_features", help="batch identify → CSVs")
     _add_root(f)

@@ -154,7 +154,13 @@ class UTMResampler:
     """
 
     def __init__(self, lats, lons, pixel_size: float,
-                 radius_of_influence: float = 10000.0):
+                 radius_of_influence: float = 10000.0,
+                 source_valid=None):
+        """``source_valid`` (optional bool mask, swath shape) excludes
+        invalid swath pixels from the nearest-neighbour source set while the
+        grid itself still spans the full swath — the reference notebook's
+        masked-array resample (masked lats/lons where ``aod < 0``, notebook
+        cell 10) has exactly these semantics through pyresample."""
         self.pixel_size = float(pixel_size)
         lats = np.asarray(lats, dtype=np.float64)
         lons = np.asarray(lons, dtype=np.float64)
@@ -180,13 +186,24 @@ class UTMResampler:
         ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * self.cell_y
         txv, tyv = np.meshgrid(tx, ty)
 
-        tree = cKDTree(np.column_stack([x.ravel(), y.ravel()]))
+        pts = np.column_stack([x.ravel(), y.ravel()])
+        if source_valid is not None:
+            src_idx = np.nonzero(np.asarray(source_valid, bool).ravel())[0]
+            if src_idx.size == 0:
+                self.valid = np.zeros((self.y_size, self.x_size), bool)
+                self.index_map = np.zeros((self.y_size, self.x_size),
+                                          np.int32)
+                return
+            pts = pts[src_idx]
+        tree = cKDTree(pts)
         dist, idx = tree.query(
             np.column_stack([txv.ravel(), tyv.ravel()]),
             distance_upper_bound=radius_of_influence,
         )
         self.valid = np.isfinite(dist).reshape(self.y_size, self.x_size)
         idx = np.where(np.isfinite(dist), idx, 0)
+        if source_valid is not None:
+            idx = src_idx[idx]
         self.index_map = idx.reshape(self.y_size, self.x_size).astype(np.int32)
 
     def resample_image(self, image, fill_value=-999.0):
@@ -195,6 +212,16 @@ class UTMResampler:
         flat = image.reshape(-1)
         out = flat[self.index_map]
         return _where(self.valid, out, fill_value)
+
+    def lonlats(self):
+        """(lon_grid, lat_grid) of the target cell centers — the notebook's
+        ``area_def.get_lonlats()`` (cell 10), which feeds the fire bbox
+        subset and per-fire pixel location on the resampled raster."""
+        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * self.cell_x
+        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * self.cell_y
+        txv, tyv = np.meshgrid(tx, ty)
+        lon, lat = self.proj.inverse(txv, tyv)
+        return lon, lat
 
     def resample_points_to_utm(self, point_lats, point_lons):
         x, y = self.proj.forward(np.asarray(point_lons), np.asarray(point_lats))

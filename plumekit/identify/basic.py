@@ -44,7 +44,12 @@ def _make_program(cfg: BasicIdentifyConfig):
         means = sub.mean(axis=(1, 3))
         min_m = jnp.min(means)
         max_m = jnp.max(means)
-        ratio = jnp.where(min_m > 0, max_m / min_m, jnp.inf)
+        # reference semantics (plume_identifier_basic.py:196-205): a zero
+        # background divides to inf (kept); a NEGATIVE background (null
+        # -999 pixels in the window) makes the ratio negative → dropped —
+        # this is how null-contaminated windows fail the screen
+        ratio = jnp.where(min_m == 0, jnp.inf,
+                          max_m / jnp.where(min_m == 0, 1.0, min_m))
         return ratio > cfg.aod_ratio_limit
 
     def program(aod, fire_rows, fire_cols, fire_valid):

@@ -66,3 +66,29 @@ def test_basic_parity_finds_plumes():
         o_dict, _ = oracle_basic_identify(aod, rows, cols, CFG)
         found += len(o_dict)
     assert found >= 1, "no basic-detector plumes on any test scene"
+
+
+def test_basic_parity_null_contaminated_windows():
+    """Null (-999) pixels inside a fire's 21x21 window drive the subwindow
+    min mean negative -> the reference's ratio test fails -> fire dropped
+    (plume_identifier_basic.py:196-205). Device == oracle on a nulled scene."""
+    scene = make_scene(SyntheticSceneConfig(seed=71, n_plumes=3,
+                                            null_blobs=6, null_blob_sigma=8.0,
+                                            **SCENE_KW))
+    g = scene.granule
+    aod = g.first_layer().astype(np.float64)  # keep -999 nulls
+    date = scene.fires.date_time.iloc[0]
+    sub = subset_fires_to_image(g.lat, g.lon, scene.fires, date,
+                                min_frp=CFG.min_frp)
+    clusters = mean_cluster_positions(sub, CFG.cluster_dist_km)
+    rows, cols = locate_fires_in_image(clusters.latitude, clusters.longitude,
+                                       g.lat, g.lon, CFG.win_half)
+
+    o_dict, o_img = oracle_basic_identify(aod, rows, cols, CFG)
+    d_dict, d_img = basic_mod.identify(
+        aod.astype(np.float32), g.lat, g.lon, date, scene.fires, CFG
+    )
+    np.testing.assert_array_equal(np.asarray(d_img) > 0, o_img > 0)
+    o_boxes = sorted(tuple(v.values()) for v in o_dict.values())
+    d_boxes = sorted(tuple(v.values()) for v in d_dict.values())
+    assert d_boxes == o_boxes
