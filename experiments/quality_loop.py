@@ -34,6 +34,14 @@ p.add_argument("--labels", default="weak,curated",
                     "weak (rg masks), curated (GT-proxy-kept hulls), "
                     "gauss (gaussian-detector hulls rasterised), "
                     "union / inter (rg ∪/∩ gauss consensus)")
+p.add_argument("--regime", choices=["clean", "false-plume"],
+               default="clean",
+               help="clean: round-2 scenes (rg gates high-precision; "
+                    "curation has nothing to remove). false-plume: scenes "
+                    "carry fire-bearing round AOD distractors and the rg "
+                    "gates are loosened (no elongation/profile checks) — "
+                    "the regime the reference's human curation exists for "
+                    "(plume_selector.py:137-233)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 label_names = [s.strip() for s in args.labels.split(",") if s.strip()]
@@ -55,9 +63,22 @@ from plumekit.train.curated import rasterize_hulls
 from plumekit.train.data import GranuleSample, scene_to_sample
 from plumekit.train.loop import train
 
-print(f"backend: {jax.default_backend()}  granules: {args.granules}")
+print(f"backend: {jax.default_backend()}  granules: {args.granules}  "
+      f"regime: {args.regime}")
 
-identify_cfg = RGIdentifyConfig(max_fires=32)
+if args.regime == "false-plume":
+    # a permissive weak labeller: keep the size/AOD gates, drop the shape
+    # gates (elongation + single-peak transect) — modelling the real-data
+    # setting where plumes are irregular, practitioners loosen the gates,
+    # and the false positives that slip through are curation's job
+    identify_cfg = RGIdentifyConfig(max_fires=32, side_ratio=1.0,
+                                    max_peaks=99)
+    SCENE_EXTRA = dict(distractor_blobs=2,
+                       distractor_amplitude=(0.45, 0.75),
+                       distractor_sigma=(7.0, 12.0))
+else:
+    identify_cfg = RGIdentifyConfig(max_fires=32)
+    SCENE_EXTRA = {}
 
 
 def build_datasets():
@@ -78,6 +99,7 @@ def build_datasets():
             background_level=0.2, background_noise=0.05,
             plume_amplitude=(0.6, 0.9), plume_sigma_major=(9.0, 16.0),
             plume_sigma_minor=(1.8, 2.8), fires_per_plume=(5, 8),
+            **SCENE_EXTRA,
         ))
         g = scene.granule
         date = scene.fires.date_time.iloc[0]
@@ -164,6 +186,7 @@ def gt_dev_set(n=8):
             background_level=0.2, background_noise=0.05,
             plume_amplitude=(0.6, 0.9), plume_sigma_major=(9.0, 16.0),
             plume_sigma_minor=(1.8, 2.8), fires_per_plume=(5, 8),
+            **SCENE_EXTRA,
         )))
         for i in range(n)
     ]

@@ -11,7 +11,7 @@ background blobs and null holes that must be *rejected*.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -40,6 +40,15 @@ class SyntheticSceneConfig:
     fires_per_plume: Tuple[int, int] = (4, 9)
     fire_frp: Tuple[float, float] = (20.0, 300.0)
     extra_fires: int = 0            # fires with no plume (should be rejected)
+    #: FALSE-PLUME distractors: roundish AOD structures with fire detections
+    #: at them but excluded from the ground truth — the non-smoke aerosol
+    #: near fires (urban haze, dust, residual cloud) whose acceptance by a
+    #: weak labeller is precisely what the reference's human curation step
+    #: exists to remove (``plume_selector.py:137-233``)
+    distractor_blobs: int = 0
+    distractor_amplitude: Tuple[float, float] = (0.4, 0.7)
+    distractor_sigma: Tuple[float, float] = (7.0, 12.0)
+    fires_per_distractor: Tuple[int, int] = (3, 6)
     center_lat: float = -10.0       # reference scenes are South American
     center_lon: float = -60.0
     pixel_size_m: float = 1000.0
@@ -57,6 +66,8 @@ class SyntheticScene:
     gt_labels: np.ndarray
     #: per-plume metadata: origin pixel, direction, sigmas, amplitude
     plumes: List[dict]
+    #: per-distractor metadata (false plumes: fire-bearing blobs not in GT)
+    distractors: List[dict] = field(default_factory=list)
 
     @property
     def gt_mask(self) -> np.ndarray:
@@ -119,6 +130,26 @@ def make_scene(cfg: SyntheticSceneConfig) -> SyntheticScene:
             fire_cols.append(fc)
             fire_frps.append(float(rng.uniform(*cfg.fire_frp)))
 
+    distractors: List[dict] = []
+    for _ in range(cfg.distractor_blobs):
+        dr = rng.uniform(margin, H - margin)
+        dc = rng.uniform(margin, W - margin)
+        ds = rng.uniform(*cfg.distractor_sigma)
+        da = rng.uniform(*cfg.distractor_amplitude)
+        # mild anisotropy so the blob is not a perfect disc (a real haze
+        # patch isn't), but far below a plume's elongation
+        ecc = rng.uniform(1.0, 1.6)
+        th = rng.uniform(0, np.pi)
+        distractors.append(dict(center=(dr, dc), theta=th,
+                                sigma_major=ds * ecc, sigma_minor=ds,
+                                amplitude=da))
+        n_f = rng.integers(cfg.fires_per_distractor[0],
+                           cfg.fires_per_distractor[1] + 1)
+        for _ in range(n_f):
+            fire_rows.append(int(np.clip(dr + rng.normal(0, 1.5), 0, H - 1)))
+            fire_cols.append(int(np.clip(dc + rng.normal(0, 1.5), 0, W - 1)))
+            fire_frps.append(float(rng.uniform(*cfg.fire_frp)))
+
     for _ in range(cfg.extra_fires):
         fire_rows.append(int(rng.uniform(margin, H - margin)))
         fire_cols.append(int(rng.uniform(margin, W - margin)))
@@ -131,6 +162,10 @@ def make_scene(cfg: SyntheticSceneConfig) -> SyntheticScene:
         ) * 10.0
         aod = np.clip(aod, 0.0, None)
         for p in plumes:
+            aod += p["amplitude"] * _anisotropic_gaussian(
+                (H, W), *p["center"], p["theta"], p["sigma_major"], p["sigma_minor"]
+            )
+        for p in distractors:
             aod += p["amplitude"] * _anisotropic_gaussian(
                 (H, W), *p["center"], p["theta"], p["sigma_major"], p["sigma_minor"]
             )
@@ -155,7 +190,7 @@ def make_scene(cfg: SyntheticSceneConfig) -> SyntheticScene:
         lat, lon, fire_rows, fire_cols, fire_frps, cfg.date, rng
     )
     return SyntheticScene(granule=granule, fires=fires, gt_labels=gt_labels,
-                          plumes=plumes)
+                          plumes=plumes, distractors=distractors)
 
 
 def make_fire_dataframe(lat, lon, rows, cols, frps, date: str, rng=None
