@@ -61,6 +61,31 @@ def granule_channel_stream(
         yield decode_granule_channels(path, depth, fire_locator)
 
 
+def quantize_uint16(channels: np.ndarray):
+    """Host-side payload compression for the host→HBM hop: per-channel
+    affine uint16 encoding. The relay's ``device_put`` ceiling was measured
+    at 16-20 MB/s (BASELINE.md round 2), making transfer the irreducible
+    cost of config 5 — halving the bytes (4 → 2 per value) halves it.
+    Model inputs are physical AOD ∈ [0, ~2] and fire density ∈ [0, 1]
+    (``assemble_channels``), so the 1/65535-of-range step (~3e-5) is far
+    below the bf16 compute precision downstream.
+
+    Returns ``(q (H, W, C) uint16, lo (C,), scale (C,) float32)`` with
+    ``value ≈ lo + q * scale``."""
+    c = channels.shape[-1]
+    flat = channels.reshape(-1, c)
+    lo = flat.min(axis=0).astype(np.float32)
+    hi = flat.max(axis=0).astype(np.float32)
+    scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / 65535.0
+    q = np.round((flat - lo) / scale).astype(np.uint16).reshape(
+        channels.shape)
+    return q, lo, scale
+
+
+def _dequantize(q, lo, scale):
+    return q.astype(jnp.float32) * scale + lo
+
+
 def stream_inference(
     paths: Iterable[str],
     infer_fn: Callable,
@@ -69,6 +94,8 @@ def stream_inference(
     buffer_size: int = 2,
     fire_locator=None,
     decode_workers: Optional[int] = None,
+    quantize: bool = False,
+    batch_granules: int = 1,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
     stream: a ``decode_workers``-thread pool decodes granules in parallel
@@ -79,7 +106,17 @@ def stream_inference(
     ``decode_workers=None`` sizes the pool to the host: ``cpu_count - 1``
     capped at 4, minimum 1. Measured on the 1-core tunnel host: a 4-thread
     pool is pure contention (0.77× vs serial) while single-thread prefetch
-    reaches 2.10×; the pool pays off only with real decode parallelism."""
+    reaches 2.10×; the pool pays off only with real decode parallelism.
+
+    ``quantize=True`` uploads uint16 payloads (half the bytes through the
+    measured 16-20 MB/s relay ceiling) and dequantises on device inside
+    the inference program (:func:`quantize_uint16`).
+
+    ``batch_granules=G`` groups consecutive same-shape granules and runs
+    each group through ONE dispatched program (``jax.vmap`` over the
+    granule axis — the per-program dispatch tax amortises across G;
+    see :func:`plumekit.infer.sliding.make_multi_granule_infer`). The
+    tail group runs at its natural (smaller) size."""
     if decode_workers is None:
         import os
 
@@ -87,7 +124,13 @@ def stream_inference(
 
     def put(item):
         name, channels, hw = item
-        return name, jax.device_put(jnp.asarray(channels)), hw
+        if quantize:
+            q, lo, scale = quantize_uint16(channels)
+            payload = (jax.device_put(q), jnp.asarray(lo),
+                       jnp.asarray(scale))
+        else:
+            payload = jax.device_put(jnp.asarray(channels))
+        return name, payload, hw
 
     stream = device_prefetch(
         granule_channel_stream(paths, depth, fire_locator,
@@ -95,6 +138,45 @@ def stream_inference(
         buffer_size=buffer_size,
         device_put=put,
     )
-    for name, image, (h, w) in stream:
-        probs, _mask = infer_fn(variables, image)
-        yield name, np.asarray(probs)[:h, :w]
+
+    # dequant lives INSIDE the jitted program so the host→device transfer
+    # stays uint16; jit caches by payload shape, so mixed-shape streams and
+    # ragged tail groups each compile once
+    if quantize:
+        def run_one(variables, payload):
+            q, lo, scale = payload
+            return infer_fn(variables, _dequantize(q, lo, scale))
+    else:
+        def run_one(variables, payload):
+            return infer_fn(variables, payload)
+
+    if batch_granules <= 1:
+        run_one = jax.jit(run_one)
+        for name, payload, (h, w) in stream:
+            probs, _mask = run_one(variables, payload)
+            yield name, np.asarray(probs)[:h, :w]
+        return
+
+    run_group = jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
+
+    def flush(group):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[p for _, p, _ in group])
+        probs, _masks = run_group(variables, stacked)
+        probs = np.asarray(probs)
+        for i, (name, _p, (h, w)) in enumerate(group):
+            yield name, probs[i, :h, :w]
+
+    group = []
+    for item in stream:
+        if group and jax.tree.map(
+                lambda x: x.shape,
+                group[0][1]) != jax.tree.map(lambda x: x.shape, item[1]):
+            yield from flush(group)
+            group = []
+        group.append(item)
+        if len(group) == batch_granules:
+            yield from flush(group)
+            group = []
+    if group:
+        yield from flush(group)

