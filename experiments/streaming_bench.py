@@ -95,14 +95,28 @@ def serial():
         _ = np.asarray(probs)[:h, :w]
 
 
-def streamed(workers):
+def streamed(workers, quantize=False, batch_granules=1):
     for _name, probs in stream_inference(paths, infer, variables,
                                          unet_cfg.depth,
-                                         decode_workers=workers):
+                                         decode_workers=workers,
+                                         quantize=quantize,
+                                         batch_granules=batch_granules):
         pass
 
+
+# warm the quantised + grouped program variants out of the timing
+for _ in stream_inference(paths[:2], infer, variables, unet_cfg.depth,
+                          quantize=True, batch_granules=2):
+    pass
 
 dt_serial = timed("serial decode->infer", serial)
 dt_p1 = timed("prefetch only (1 decode thread)", lambda: streamed(1))
 dt_p4 = timed("decode pool (4 threads) + prefetch", lambda: streamed(4))
-print(f"\nspeedup: prefetch {dt_serial/dt_p1:.2f}x  pool {dt_serial/dt_p4:.2f}x")
+# round-3 levers: uint16 payloads (halve the 16-20 MB/s relay transfer)
+# and granule grouping (amortise the per-program dispatch tax)
+dt_q = timed("prefetch + uint16 payloads", lambda: streamed(1, True))
+dt_qb = timed("prefetch + uint16 + batch_granules=3",
+              lambda: streamed(1, True, 3))
+print(f"\nspeedup vs serial: prefetch {dt_serial/dt_p1:.2f}x  "
+      f"pool {dt_serial/dt_p4:.2f}x  quant {dt_serial/dt_q:.2f}x  "
+      f"quant+batch {dt_serial/dt_qb:.2f}x")
