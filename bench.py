@@ -29,8 +29,10 @@ BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "64"))
 REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
 # G granules per dispatched program (vmapped sliding infer): amortises the
 # relay's fixed per-program/per-op dispatch tax across granules
-# (VERDICT round-2 weak #3); G=1 is the round-2 single-granule protocol
-GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "1"))
+# (VERDICT round-2 weak #3); G=1 is the round-2 single-granule protocol.
+# Measured round 3 at 2048²: G=1 108.3, G=2 185.0, G=4 208.9 (peak),
+# G=6 208.3, G=8 200.1 MPix/s — default to the saturation point
+GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
 
 
 def bench_tpu() -> float:

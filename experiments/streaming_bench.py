@@ -104,9 +104,17 @@ def streamed(workers, quantize=False, batch_granules=1):
         pass
 
 
-# warm the quantised + grouped program variants out of the timing
-for _ in stream_inference(paths[:2], infer, variables, unet_cfg.depth,
-                          quantize=True, batch_granules=2):
+# warm EVERY timed program variant out of the timing: plain single-granule,
+# quantised single-granule, and the G=3 grouped program each lower to a
+# distinct jit program (a G=2-only warm-up left dt_q/dt_qb paying their
+# first compiles inside the timed region)
+for _ in stream_inference(paths[:1], infer, variables, unet_cfg.depth):
+    pass
+for _ in stream_inference(paths[:1], infer, variables, unet_cfg.depth,
+                          quantize=True):
+    pass
+for _ in stream_inference(paths[:3], infer, variables, unet_cfg.depth,
+                          quantize=True, batch_granules=3):
     pass
 
 dt_serial = timed("serial decode->infer", serial)

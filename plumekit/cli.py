@@ -127,11 +127,13 @@ def cmd_identify_viirs(args) -> int:
         rows = [
             {"plume_id": pid, **bbox} for pid, bbox in plume_dict.items()
         ]
-        pd.DataFrame(rows, columns=["plume_id", "min_r", "min_c", "max_r",
-                                    "max_c"]).to_csv(out_csv, index=False)
+        # mask first, bbox CSV last: resume keys on the CSV, so a crash
+        # between the two writes must not leave a CSV without its mask
         np.savez_compressed(os.path.join(masks_dir, base + "_mask.npz"),
                             plume_image=plume_image,
                             aod=np.nan_to_num(aod_r, nan=-999.0))
+        pd.DataFrame(rows, columns=["plume_id", "min_r", "min_c", "max_r",
+                                    "max_c"]).to_csv(out_csv, index=False)
         logger.info("%s: %d plume(s) → %s", base, len(plume_dict), out_csv)
     return 0
 

@@ -157,18 +157,40 @@ class UTMResampler:
                  radius_of_influence: float = 10000.0,
                  source_valid=None):
         """``source_valid`` (optional bool mask, swath shape) excludes
-        invalid swath pixels from the nearest-neighbour source set while the
-        grid itself still spans the full swath — the reference notebook's
+        invalid swath pixels from BOTH the nearest-neighbour source set and
+        the grid geometry (zone / extent / size) — the reference notebook's
         masked-array resample (masked lats/lons where ``aod < 0``, notebook
-        cell 10) has exactly these semantics through pyresample."""
+        cell 10) has exactly these semantics through pyresample, whose area
+        is computed from the unmasked pixels only. Deriving the extent from
+        masked-out pixels would let geolocation fill values (e.g. GMTCO's
+        -999.3) blow the grid up to millions of cells."""
         self.pixel_size = float(pixel_size)
         lats = np.asarray(lats, dtype=np.float64)
         lons = np.asarray(lons, dtype=np.float64)
-        self.zone = utm_zone_of(lons)
-        self.south = bool(np.mean(lats) < 0)
+        src_idx = None
+        if source_valid is not None:
+            sv = np.asarray(source_valid, bool)
+            src_idx = np.nonzero(sv.ravel())[0]
+            if src_idx.size == 0:
+                # degenerate: nothing to resample — 1×1 all-invalid plan
+                self.zone = utm_zone_of(lons)
+                self.south = bool(np.mean(lats) < 0)
+                self.proj = UTMProjection(self.zone, self.south)
+                self.extent = (0.0, 0.0, self.pixel_size, self.pixel_size)
+                self.x_size = self.y_size = 1
+                self.cell_x = self.cell_y = self.pixel_size
+                self.valid = np.zeros((1, 1), bool)
+                self.index_map = np.zeros((1, 1), np.int32)
+                return
+            glats, glons = lats.ravel()[src_idx], lons.ravel()[src_idx]
+        else:
+            glats, glons = lats, lons
+        self.zone = utm_zone_of(glons)
+        self.south = bool(np.mean(glats) < 0)
         self.proj = UTMProjection(self.zone, self.south)
 
-        x, y = self.proj.forward(lons, lats)
+        # source UTM coordinates and grid extent: valid pixels only
+        x, y = self.proj.forward(glons, glats)
         self.extent = (np.min(x), np.min(y), np.max(x), np.max(y))
         self.x_size = int(np.round((self.extent[2] - self.extent[0]) / pixel_size))
         self.y_size = int(np.round((self.extent[3] - self.extent[1]) / pixel_size))
@@ -181,20 +203,8 @@ class UTMResampler:
         self.cell_x = (self.extent[2] - self.extent[0]) / self.x_size
         self.cell_y = (self.extent[3] - self.extent[1]) / self.y_size
 
-        # target cell centers (row 0 = max northing, image convention)
-        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * self.cell_x
-        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * self.cell_y
-        txv, tyv = np.meshgrid(tx, ty)
-
+        txv, tyv = self._cell_centers()
         pts = np.column_stack([x.ravel(), y.ravel()])
-        if source_valid is not None:
-            src_idx = np.nonzero(np.asarray(source_valid, bool).ravel())[0]
-            if src_idx.size == 0:
-                self.valid = np.zeros((self.y_size, self.x_size), bool)
-                self.index_map = np.zeros((self.y_size, self.x_size),
-                                          np.int32)
-                return
-            pts = pts[src_idx]
         tree = cKDTree(pts)
         dist, idx = tree.query(
             np.column_stack([txv.ravel(), tyv.ravel()]),
@@ -202,9 +212,17 @@ class UTMResampler:
         )
         self.valid = np.isfinite(dist).reshape(self.y_size, self.x_size)
         idx = np.where(np.isfinite(dist), idx, 0)
-        if source_valid is not None:
+        if src_idx is not None:
             idx = src_idx[idx]
         self.index_map = idx.reshape(self.y_size, self.x_size).astype(np.int32)
+
+    def _cell_centers(self):
+        """Meshgrid of target cell centers (row 0 = max northing, image
+        convention) — the single source of the grid-center convention used
+        by both the gather-plan query and :meth:`lonlats`."""
+        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * self.cell_x
+        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * self.cell_y
+        return np.meshgrid(tx, ty)
 
     def resample_image(self, image, fill_value=-999.0):
         """Apply the precomputed gather plan. ``image`` may be a NumPy or JAX
@@ -217,9 +235,7 @@ class UTMResampler:
         """(lon_grid, lat_grid) of the target cell centers — the notebook's
         ``area_def.get_lonlats()`` (cell 10), which feeds the fire bbox
         subset and per-fire pixel location on the resampled raster."""
-        tx = self.extent[0] + (np.arange(self.x_size) + 0.5) * self.cell_x
-        ty = self.extent[3] - (np.arange(self.y_size) + 0.5) * self.cell_y
-        txv, tyv = np.meshgrid(tx, ty)
+        txv, tyv = self._cell_centers()
         lon, lat = self.proj.inverse(txv, tyv)
         return lon, lat
 

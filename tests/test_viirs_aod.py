@@ -154,3 +154,40 @@ def test_cli_identify_viirs(tmp_path):
     assert len(df) >= 1
     # resume semantics: second run skips (reference main() log pattern)
     assert main(["identify_viirs", "--root", root]) == 0
+
+
+def test_geolocation_fills_do_not_corrupt_grid(scene_dirs):
+    """GMTCO granules carry -999.3 lat/lon fill pixels (bow-tie deletion /
+    scan edges). The grid geometry (zone, extent, size) must come from
+    valid pixels only — an extent computed over projected fill values
+    explodes to millions of cells (round-3 review finding)."""
+    aod = scene_dirs["aod"].copy()
+    lat = scene_dirs["lat"].copy()
+    lon = scene_dirs["lon"].copy()
+    _, clean, _, _ = resample_viirs_aod(aod, lat, lon)
+
+    # plant IDPS-style fill geolocation on a scan edge
+    lat[:2, :] = -999.3
+    lon[:2, :] = -999.3
+    _, filled, lat_g, lon_g = resample_viirs_aod(aod, lat, lon)
+
+    # grid stays swath-sized (within the two lost rows), not exploded
+    assert abs(filled.shape[0] - clean.shape[0]) <= 8
+    assert abs(filled.shape[1] - clean.shape[1]) <= 8
+    finite = filled[np.isfinite(filled)]
+    assert finite.size > 0 and (finite >= 0).all()
+    assert (np.abs(lat_g) <= 90).all() and (np.abs(lon_g) <= 180).all()
+
+
+def test_resampler_all_invalid_source_degenerates_cleanly():
+    """Every source pixel masked out -> an empty 1x1 plan, not a crash or
+    a garbage-extent allocation."""
+    from plumekit.geo.utm import UTMResampler
+
+    lat, lon = np.mgrid[40:41:32j, -3:-2:32j]
+    rs = UTMResampler(lat, lon, pixel_size=1000.0,
+                      source_valid=np.zeros(lat.shape, bool))
+    assert rs.valid.shape == (1, 1) and not rs.valid.any()
+    out = np.asarray(rs.resample_image(np.ones(lat.shape, np.float32),
+                                       fill_value=np.nan))
+    assert np.isnan(out).all()

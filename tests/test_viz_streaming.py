@@ -43,7 +43,9 @@ def test_viz_plots(tmp_path, rng):
         assert os.path.getsize(p) > 1000
 
 
-def test_stream_inference(tmp_path, rng):
+def _mini_model_and_paths(tmp_path, rng, n=5, shape=(70, 90)):
+    """Shared fixture: tiny U-Net + sliding infer + n on-disk granules
+    (70×90 default: exercises pad_to_multiple + crop-back)."""
     cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
                      compute_dtype="float32")
     model = UNet(cfg)
@@ -54,15 +56,18 @@ def test_stream_inference(tmp_path, rng):
         channels=2,
     )
     paths = []
-    for i in range(3):
-        # 70x90: exercises pad_to_multiple + crop-back
-        aod = rng.random((70, 90)).astype(np.float32)
-        lat, lon = np.mgrid[0:70, 0:90].astype(np.float64)
+    for i in range(n):
+        aod = rng.random(shape).astype(np.float32)
+        lat, lon = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float64)
         g = Granule(layers={"t0": aod}, lat=lat, lon=lon, name=f"g{i}")
         p = str(tmp_path / f"g{i}.npz")
         save_granule(p, g)
         paths.append(p)
+    return cfg, infer, variables, paths
 
+
+def test_stream_inference(tmp_path, rng):
+    cfg, infer, variables, paths = _mini_model_and_paths(tmp_path, rng, n=3)
     results = list(stream_inference(paths, infer, variables, cfg.depth))
     assert [n for n, _ in results] == ["g0", "g1", "g2"]
     for _, probs in results:
@@ -113,24 +118,7 @@ def test_decode_pool_ordered_and_parallel():
 def test_stream_inference_with_decode_pool(tmp_path, rng):
     """Pool-decoded streaming inference must produce identical results to
     decode_workers=1 (ordering and numerics preserved)."""
-    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
-                     compute_dtype="float32")
-    model = UNet(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 2)), train=False)
-    infer = make_sliding_infer(
-        model.apply, InferConfig(tile_size=64, overlap=8, batch_tiles=2),
-        channels=2,
-    )
-    paths = []
-    for i in range(5):
-        aod = rng.random((70, 90)).astype(np.float32)
-        lat, lon = np.mgrid[0:70, 0:90].astype(np.float64)
-        g = Granule(layers={"t0": aod}, lat=lat, lon=lon, name=f"p{i}")
-        p = str(tmp_path / f"p{i}.npz")
-        save_granule(p, g)
-        paths.append(p)
-
+    cfg, infer, variables, paths = _mini_model_and_paths(tmp_path, rng, n=5)
     serial = list(stream_inference(paths, infer, variables, cfg.depth,
                                    decode_workers=1))
     pooled = list(stream_inference(paths, infer, variables, cfg.depth,
@@ -138,27 +126,6 @@ def test_stream_inference_with_decode_pool(tmp_path, rng):
     assert [n for n, _ in serial] == [n for n, _ in pooled]
     for (_, a), (_, b) in zip(serial, pooled):
         np.testing.assert_array_equal(a, b)
-
-
-def _mini_model_and_paths(tmp_path, rng, n=5, shape=(70, 90)):
-    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
-                     compute_dtype="float32")
-    model = UNet(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 2)), train=False)
-    infer = make_sliding_infer(
-        model.apply, InferConfig(tile_size=64, overlap=8, batch_tiles=2),
-        channels=2,
-    )
-    paths = []
-    for i in range(n):
-        aod = rng.random(shape).astype(np.float32)
-        lat, lon = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float64)
-        g = Granule(layers={"t0": aod}, lat=lat, lon=lon, name=f"g{i}")
-        p = str(tmp_path / f"g{i}.npz")
-        save_granule(p, g)
-        paths.append(p)
-    return cfg, infer, variables, paths
 
 
 def test_stream_inference_quantized_matches_fp32(tmp_path, rng):
