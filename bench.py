@@ -17,12 +17,12 @@ import time
 
 import numpy as np
 
-# 2048² granule: fixed per-call costs amortize over 4x the pixels of 1024²
-# (75.8 vs 57-62 MPix/s measured); tile 288 / overlap 32 keeps batches full
-# (1.27x overlap redundancy, no batch padding at 1024; 8x8 grid at 2048).
-# batch_tiles 64 = the whole 2048² grid in ONE forward: 77 -> 100.6 MPix/s
+# granule size: fixed per-call costs amortize with pixels (57-62 MPix/s at
+# 1024², 108 at 2048², 132 at 4096² for G=1); tile 288 / overlap 32 keeps
+# batches full (1.27x overlap redundancy, no batch padding).
+# batch_tiles 64 = a whole 2048² grid in ONE forward: 77 -> 100.6 MPix/s
 # measured (fewer dispatched programs; round-2 op-count lever)
-GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "2048"))
+GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "4096"))
 TILE = int(os.environ.get("PLUMEKIT_BENCH_TILE", "288"))
 OVERLAP = int(os.environ.get("PLUMEKIT_BENCH_OVERLAP", "32"))
 BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "64"))
@@ -31,8 +31,9 @@ REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
 # relay's fixed per-program/per-op dispatch tax across granules
 # (VERDICT round-2 weak #3); G=1 is the round-2 single-granule protocol.
 # Measured round 3 at 2048²: G=1 108.3, G=2 185.0, G=4 208.9 (peak),
-# G=6 208.3, G=8 200.1 MPix/s — default to the saturation point
-GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
+# G=6 208.3, G=8 200.1 MPix/s; at 4096²: G=1 132.3, G=2 217.1 (best
+# overall) — default to the measured optimum (2 VIIRS-scale granules)
+GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "2"))
 
 
 def bench_tpu() -> float:

@@ -32,6 +32,9 @@ p.add_argument("--smooth", type=float, default=0.05)
 p.add_argument("--labels", default="weak,curated",
                help="comma list of training-label variants to compare: "
                     "weak (rg masks), curated (GT-proxy-kept hulls), "
+                    "curmask (GT-proxy-kept DEVICE MASKS — plumekit's "
+                    "sharper curated artifact: drops false plumes without "
+                    "coarsening kept ones to convex fills), "
                     "gauss (gaussian-detector hulls rasterised), "
                     "union / inter (rg ∪/∩ gauss consensus)")
 p.add_argument("--regime", choices=["clean", "false-plume"],
@@ -116,6 +119,7 @@ def build_datasets():
         from plumekit.ops.geometry import convex_hull_vertices_host
 
         weak = np.zeros(g.shape, np.float32)
+        curm = np.zeros(g.shape, np.float32)
         hull_rows = []
         for f in np.nonzero(out["accepted"])[0]:
             m = out["mask"][f]
@@ -123,6 +127,7 @@ def build_datasets():
             # curation proxy: a human keeps plumes that look right —
             # modelled as ≥50% of the mask lying on true plume
             if m.sum() and (m & gt).sum() / m.sum() >= 0.5:
+                curm[m] = 1.0
                 kept += 1
                 ys, xs = np.nonzero(m)
                 if ys.size < 3:
@@ -141,6 +146,9 @@ def build_datasets():
         if "weak" in sets:
             sets["weak"].append(
                 GranuleSample(channels=sample.channels, mask=weak))
+        if "curmask" in sets:
+            sets["curmask"].append(
+                GranuleSample(channels=sample.channels, mask=curm))
 
         if "curated" in sets:
             if hull_rows:

@@ -220,12 +220,22 @@ def cmd_build_features(args) -> int:
         date = granule_date(fname, default=fire_df.date_time.iloc[0])
         base = os.path.splitext(fname)[0]
         if args.detector == "rg":
-            aod_df, hull_df, _ = rg_mod.identify(
+            aod_df, hull_df, out = rg_mod.identify(
                 granule.first_layer(), granule.lat, granule.lon, date,
                 fire_df, RGIdentifyConfig(),
             )
             aod_df.to_csv(os.path.join(aod_dir, base + "_aod.csv"),
                           index=False)
+            if not args.no_masks:
+                # per-plume device masks keyed by hull id: the sharper
+                # curated-training artifact (prepare_model_data prefers
+                # these over convex-hull fills when present)
+                masks = rg_mod.plume_masks(out)
+                if masks:
+                    np.savez_compressed(
+                        os.path.join(paths.ensure("plume_mask_dir"),
+                                     base + "_masks.npz"),
+                        **{str(pid): m for pid, m in masks.items()})
             if args.plot and len(aod_df):
                 from plumekit.viz import plot_identify_bboxes
 
@@ -284,7 +294,8 @@ def cmd_prepare_model_data(args) -> int:
     from plumekit.train.curated import build_model_data
 
     paths = PathsConfig(root=args.root)
-    written = build_model_data(paths, fire_csv=args.fires)
+    written = build_model_data(paths, fire_csv=args.fires,
+                               use_masks=not args.hulls_only)
     logger.info("wrote %d model-ready samples to %s", len(written),
                 paths.resolve("model_data_dir"))
     return 0 if written else 1
@@ -528,6 +539,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="rg")
     f.add_argument("--plot", action="store_true",
                    help="write annotated scene PNGs (reference main() plots)")
+    f.add_argument("--no-masks", action="store_true",
+                   help="skip the per-plume device-mask npz (rg detector; "
+                        "reference-parity hull-only artifacts)")
     f.set_defaults(fn=cmd_build_features)
 
     pm = sub.add_parser("prepare_model_data",
@@ -535,6 +549,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_root(pm)
     pm.add_argument("--fires", default=None,
                     help="fire CSV (defaults to raw/fires/fires.csv)")
+    pm.add_argument("--hulls-only", action="store_true",
+                    help="rasterise convex hulls even when per-plume device "
+                         "masks exist (the reference's exact curated "
+                         "artifact; default prefers the sharper masks)")
     pm.set_defaults(fn=cmd_prepare_model_data)
 
     t = sub.add_parser("train_model", help="train the U-Net")

@@ -54,6 +54,12 @@ class PathsConfig:
     model_data_dir: str = "processed/model_data"
     model_dir: str = "models"
 
+    #: per-plume device masks saved by build_features (plumekit extension:
+    #: the reference persists only hulls — plume_selector.py:229-233 — so
+    #: its curated training targets are convex fills; keeping the detector
+    #: masks lets prepare_model_data build sharper curated targets)
+    plume_mask_dir: str = "interim/plume_masks"
+
     def resolve(self, name: str, create: bool = False) -> str:
         """Absolute path of the named sub-directory. A read-only query by
         default; pass ``create=True`` (or use :meth:`ensure`) on write paths —

@@ -93,6 +93,46 @@ def identify(
     return aod_df, hull_df, out
 
 
+def _iter_valid_plumes(out: dict):
+    """Yield ``(plume_id, fire_index, mask, hull_rows, hull_cols)`` over
+    accepted fires, skipping plumes with no 2-D hull — the SINGLE
+    id-assignment walk shared by :func:`build_scene_dataframes` and
+    :func:`plume_masks`, so curated-mask artifacts are keyed by exactly the
+    ids the selector's hull CSVs carry."""
+    from scipy.spatial import QhullError
+
+    plume_id = 0
+    for f in np.nonzero(out["accepted"])[0]:
+        mask = out["mask"][f]
+        ys, xs = np.nonzero(mask)
+        if ys.size < 3:
+            continue
+        points = np.column_stack([ys, xs])
+        try:
+            verts = convex_hull_vertices_host(points)
+        except QhullError:
+            # degenerate (collinear) plume: no 2-D hull exists — log the
+            # drop so scene plume counts do not shift silently (a broader
+            # except here would also have masked real defects, the exact
+            # SURVEY bug-#7 pattern this module documents avoiding)
+            logger.info("plume at fire %d dropped: degenerate hull "
+                        "(%d collinear pixels)", int(f), ys.size)
+            continue
+        yield plume_id, int(f), mask, points[verts, 0], points[verts, 1]
+        plume_id += 1
+
+
+def plume_masks(out: dict) -> dict:
+    """``{plume_id: (H, W) bool mask}`` for every plume that appears in the
+    scene dataframes — the device detector's exact pixel support, keyed to
+    match ``hull_df.id``. This is plumekit's sharper curated artifact: the
+    reference pipeline only persists convex hulls (``plume_selector.py:
+    229-233``), so curated training targets are convex FILLS of the plume;
+    keeping the device mask drops false plumes without coarsening kept
+    ones (measured: BASELINE.md round-3 false-plume rows)."""
+    return {pid: mask for pid, _f, mask, _hy, _hx in _iter_valid_plumes(out)}
+
+
 def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
                            dedup: bool = True):
     """Assemble the reference's two outputs from the device result:
@@ -107,28 +147,8 @@ def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
     identical in all stats (two fires claiming one plume) collapse to the
     first id.
     """
-    accepted = np.nonzero(out["accepted"])[0]
     aod_rows, hull_parts = [], []
-    plume_id = 0
-    for f in accepted:
-        mask = out["mask"][f]
-        ys, xs = np.nonzero(mask)
-        if ys.size < 3:
-            continue
-        points = np.column_stack([ys, xs])
-        from scipy.spatial import QhullError
-
-        try:
-            verts = convex_hull_vertices_host(points)
-        except QhullError:
-            # degenerate (collinear) plume: no 2-D hull exists — log the
-            # drop so scene plume counts do not shift silently (a broader
-            # except here would also have masked real defects, the exact
-            # SURVEY bug-#7 pattern this module documents avoiding)
-            logger.info("plume at fire %d dropped: degenerate hull "
-                        "(%d collinear pixels)", int(f), ys.size)
-            continue
-        hy, hx = points[verts, 0], points[verts, 1]
+    for plume_id, f, mask, hy, hx in _iter_valid_plumes(out):
         hull_parts.append(
             pd.DataFrame(
                 {
@@ -154,7 +174,6 @@ def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
                 "bg_aod_level": int(out["t_index"][f]),
             }
         )
-        plume_id += 1
 
     aod_df = pd.DataFrame(
         aod_rows,

@@ -101,15 +101,42 @@ def granule_to_channels(granule: Granule, ts: str,
     return assemble_channels(aod, rows, cols)
 
 
+def masks_for_kept_ids(mask_npz_path: str, kept_ids,
+                       shape) -> Optional[np.ndarray]:
+    """Union of the per-plume device masks for the curated-kept ids, or
+    ``None`` when the npz lacks any of them (caller falls back to hulls).
+    ``build_features`` writes the npz keyed by the same ids the hull CSVs
+    carry (``identify.rg.plume_masks``)."""
+    with np.load(mask_npz_path) as data:
+        union = np.zeros(shape, dtype=bool)
+        for pid in kept_ids:
+            key = str(int(pid))
+            if key not in data:
+                logger.warning("%s: kept id %s missing from mask npz — "
+                               "falling back to hulls", mask_npz_path, key)
+                return None
+            union |= data[key].astype(bool)
+    return union
+
+
 def build_model_data(
     paths: PathsConfig,
     fire_csv: Optional[str] = None,
     out_dir: Optional[str] = None,
+    use_masks: bool = True,
 ) -> List[str]:
     """For every curated hull CSV (``reduced/plume/hull/*_extent.csv``),
-    rasterise kept hulls per orbit layer and write a model-ready npz
+    rasterise kept plumes per orbit layer and write a model-ready npz
     (``channels`` (H, W, 2), ``mask`` (H, W)) under ``model_data_dir``.
-    Returns the written paths."""
+    Returns the written paths.
+
+    With ``use_masks`` (default), a granule whose ``plume_mask_dir`` npz
+    exists gets its training mask from the union of the kept plumes'
+    DEVICE masks instead of convex-hull fills — plumekit's sharper curated
+    artifact (hull fills coarsen thin plumes: measured −0.02 IoU clean /
+    hull-vs-mask gap in the false-plume regime, BASELINE.md round 3).
+    Granules without the npz (or ``use_masks=False``) use the reference's
+    hull-rasterisation pathway."""
     from plumekit.io.dates import granule_date
     from plumekit.io.fires import load_fire_csv
 
@@ -143,16 +170,26 @@ def build_model_data(
         date = None
         if fire_df is not None:
             date = granule_date(base, default=fire_df.date_time.iloc[0])
+        mask_npz = os.path.join(paths.resolve("plume_mask_dir"),
+                                base + "_masks.npz")
         for ts in hull_df.datetime.unique():
-            mask = rasterize_hulls(hull_df[hull_df.datetime == ts],
-                                   granule.shape)
+            kept = hull_df[hull_df.datetime == ts]
+            mask = None
+            src = "hulls"
+            if use_masks and os.path.exists(mask_npz):
+                mask = masks_for_kept_ids(mask_npz, kept.id.unique(),
+                                          granule.shape)
+                src = "device masks"
+            if mask is None:
+                mask = rasterize_hulls(kept, granule.shape)
+                src = "hulls"
             channels = granule_to_channels(granule, str(ts), fire_df, date)
             out = os.path.join(out_dir, f"{base}__{ts}.npz")
             np.savez_compressed(out, channels=channels,
                                 mask=mask.astype(np.float32))
             written.append(out)
-            logger.info("%s: %d plume px (%d hulls)", out, int(mask.sum()),
-                        hull_df[hull_df.datetime == ts].id.nunique())
+            logger.info("%s: %d plume px (%d plumes, from %s)", out,
+                        int(mask.sum()), kept.id.nunique(), src)
     return written
 
 

@@ -133,3 +133,89 @@ def test_cli_full_curated_loop(tmp_path):
     assert cli_main(["train_model", "--root", root, "--curated",
                      "--steps", "2", "--batch-size", "2",
                      "--tile", "64"]) == 0
+
+
+def test_plume_masks_ids_match_hull_ids():
+    """plume_masks must key by EXACTLY the ids build_scene_dataframes
+    assigns (they share one id-assignment walk) — a drift here would pair
+    curated decisions with the wrong plume's pixels."""
+    from plumekit.config.identify import RGIdentifyConfig
+    from plumekit.identify import rg as rg_mod
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+
+    scene = make_scene(SyntheticSceneConfig(size=160, n_plumes=2, seed=11))
+    g = scene.granule
+    _aod_df, hull_df, out = rg_mod.identify(
+        g.first_layer(), g.lat, g.lon, scene.fires.date_time.iloc[0],
+        scene.fires, RGIdentifyConfig(max_fires=8))
+    masks = rg_mod.plume_masks(out)
+    assert set(masks) >= set(int(i) for i in hull_df.id.unique())
+    for pid in hull_df.id.unique():
+        m = masks[int(pid)]
+        hy = hull_df[hull_df.id == pid].hull_y.to_numpy(int)
+        hx = hull_df[hull_df.id == pid].hull_x.to_numpy(int)
+        assert m[hy, hx].all()  # hull vertices lie on the mask
+
+
+def test_build_model_data_prefers_device_masks(tmp_path):
+    """With a plume_mask npz present, the curated training target is the
+    device mask (non-convex preserved), not its convex fill; --hulls-only
+    restores the reference artifact."""
+    from plumekit.config import PathsConfig
+    from plumekit.io.granule import save_granule
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    scene = make_scene(SyntheticSceneConfig(size=96, n_plumes=2, seed=1))
+    save_granule(os.path.join(paths.ensure("maiac_dir"), "g0.npz"),
+                 scene.granule)
+
+    # L-shaped (non-convex) device mask: its convex fill covers the notch
+    dev = np.zeros((96, 96), bool)
+    dev[20:40, 10:16] = True
+    dev[34:40, 10:30] = True
+    df = _hull_df_from_mask(dev, 0, dt=next(iter(scene.granule.layers)))
+    df.to_csv(os.path.join(paths.ensure("reduced_plume_hull_dir"),
+                           "g0_extent.csv"), index=False)
+    np.savez_compressed(os.path.join(paths.ensure("plume_mask_dir"),
+                                     "g0_masks.npz"), **{"0": dev})
+
+    written = build_model_data(paths)
+    got = np.load(written[0])["mask"].astype(bool)
+    np.testing.assert_array_equal(got, dev)        # notch NOT filled
+
+    hull_written = build_model_data(paths, use_masks=False)
+    hull_mask = np.load(hull_written[0])["mask"].astype(bool)
+    assert hull_mask[dev].all() and hull_mask.sum() > dev.sum()  # convex fill
+
+    # kept id missing from the npz -> clean fallback to hulls
+    np.savez_compressed(os.path.join(paths.resolve("plume_mask_dir"),
+                                     "g0_masks.npz"), **{"7": dev})
+    fb = np.load(build_model_data(paths)[0])["mask"].astype(bool)
+    np.testing.assert_array_equal(fb, hull_mask)
+
+
+def test_cli_build_features_writes_mask_npz(tmp_path):
+    """build_features (rg) persists per-plume device masks keyed by hull
+    ids; --no-masks suppresses them (reference-parity artifacts only)."""
+    from plumekit.cli import main as cli_main
+    from plumekit.config import PathsConfig
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    assert cli_main(["make_dataset", "--root", root, "--n-granules", "1",
+                     "--size", "160", "--plumes", "2"]) == 0
+    assert cli_main(["build_features", "--root", root,
+                     "--detector", "rg"]) == 0
+    mask_dir = paths.resolve("plume_mask_dir")
+    npzs = [f for f in os.listdir(mask_dir) if f.endswith("_masks.npz")]
+    hull_dir = paths.resolve("hull_df_dir")
+    hulls = [f for f in os.listdir(hull_dir) if f.endswith("_extent.csv")]
+    assert hulls
+    df = pd.read_csv(os.path.join(hull_dir, hulls[0]))
+    if len(df):
+        assert npzs, "device masks missing despite accepted plumes"
+        with np.load(os.path.join(mask_dir, npzs[0])) as data:
+            assert set(data.files) >= set(
+                str(int(i)) for i in df.id.unique())
