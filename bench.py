@@ -171,7 +171,15 @@ def bench_torch_cpu() -> float:
 
 
 def main() -> int:
-    value = bench_tpu()
+    # the tunneled backend occasionally drops a dispatch with a transient
+    # FAILED_PRECONDITION (observed round 3: identical program succeeded on
+    # immediate re-run) — one retry keeps a blip from zeroing the round.
+    try:
+        value = bench_tpu()
+    except Exception as e:
+        print(f"bench attempt 1 failed ({e!r}); retrying once", file=sys.stderr)
+        time.sleep(10)
+        value = bench_tpu()
     try:
         baseline = bench_torch_cpu()
     except Exception as e:  # torch missing/broken must not kill the bench

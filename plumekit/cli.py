@@ -378,7 +378,8 @@ def cmd_predict_model(args) -> int:
     from plumekit.infer.streaming import stream_inference
 
     for name, probs in stream_inference(
-        granule_paths, infer, variables, unet_cfg.depth
+        granule_paths, infer, variables, unet_cfg.depth,
+        quantize=args.quantize, batch_granules=args.batch_granules,
     ):
         out = os.path.join(out_dir, name + "_pred.npz")
         np.savez_compressed(out, probs=probs, mask=probs > 0.5)
@@ -573,10 +574,19 @@ def build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("predict_model", help="sliding-window inference")
     _add_root(pr)
     pr.add_argument("--checkpoint", default=None)
-    pr.add_argument("--tile", type=int, default=256)
+    pr.add_argument("--tile", type=int, default=288)
     pr.add_argument("--plot", action="store_true")
     pr.add_argument("--fused", action="store_true",
                     help="Pallas fused conv+BN+ReLU forward (deep levels)")
+    pr.add_argument("--batch-granules", type=int, default=2,
+                    help="granules per dispatched program (same-shape "
+                         "groups vmapped; the per-program dispatch tax "
+                         "amortises across the group — measured +71%% at "
+                         "G=2, BASELINE.md round 3; 1 = per-granule)")
+    pr.add_argument("--quantize", action="store_true",
+                    help="uint16 host→HBM payloads with on-device dequant "
+                         "(halves transfer bytes; pays when the link, not "
+                         "the host, is the bottleneck)")
     pr.set_defaults(fn=cmd_predict_model)
 
     i = sub.add_parser("identify", help="identify plumes in one granule")

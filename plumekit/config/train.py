@@ -95,7 +95,11 @@ class MeshConfig:
 class InferConfig:
     """Sliding-window full-granule inference (config 3)."""
 
-    tile_size: int = 256
+    # defaults = the measured optimum geometry (docs/performance.md): 288/32
+    # tiles a 1024²-multiple granule with 1.27× overlap redundancy and zero
+    # batch padding, and 64-tile batches put a whole 2048² grid through one
+    # forward (64 small tiles beat fewer big ones ~2× on the MXU)
+    tile_size: int = 288
     overlap: int = 32             # blended overlap between adjacent tiles
-    batch_tiles: int = 16         # tiles per device batch
+    batch_tiles: int = 64         # tiles per device batch
     threshold: float = 0.5        # mask = sigmoid(logit) > threshold

@@ -90,7 +90,12 @@ def make_sliding_infer(
         yy, xx = np.meshgrid(ys_np, xs_np, indexing="ij")
         origins_np = np.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
         n = origins_np.shape[0]
-        pad = (-n) % cfg.batch_tiles
+        # effective batch clamps to the real tile count: a small granule's
+        # grid (e.g. 16 tiles at 1024²) must not pad up to a large
+        # batch_tiles default and waste 4x the forward on duplicates —
+        # the geometry is static per image shape, so this is free
+        eff = max(1, min(cfg.batch_tiles, n))
+        pad = (-n) % eff
         padded = np.concatenate(
             [origins_np, np.tile(origins_np[-1:], (pad, 1))], axis=0
         )
@@ -101,7 +106,7 @@ def make_sliding_infer(
         for oy, ox in (padded if count_padding else origins_np):
             weight_canvas_np[oy : oy + tile, ox : ox + tile] += weight2d_np
         inv = 1.0 / np.maximum(weight_canvas_np, 1e-8)
-        return (len(ys_np), len(xs_np), n, padded, weight2d_np, inv)
+        return (len(ys_np), len(xs_np), n, eff, padded, weight2d_np, inv)
 
     @partial(jax.jit, static_argnames=())
     def infer(variables, image):
@@ -133,14 +138,13 @@ def make_sliding_infer(
         if tile <= 2 * stride and h >= tile and w >= tile:
             h2 = tile + -(-(h - tile) // stride) * stride
             w2 = tile + -(-(w - tile) // stride) * stride
-            ny, nx, n, padded_origins, weight2d_np, inv_np = \
+            ny, nx, n, eff, padded_origins, weight2d_np, inv_np = \
                 _grid_and_weights(h2, w2, count_padding=False)
             weight2d = jnp.asarray(weight2d_np)
             inv_weight = jnp.asarray(inv_np[:h, :w])
             img = jnp.pad(image, ((0, h2 - h), (0, w2 - w), (0, 0)),
                           mode="edge")
-            origins = jnp.asarray(padded_origins).reshape(
-                -1, cfg.batch_tiles, 2)
+            origins = jnp.asarray(padded_origins).reshape(-1, eff, 2)
             _, probs_all = lax.scan(
                 lambda c, o: (c, forward_batch(img, o)), 0, origins
             )
@@ -173,11 +177,11 @@ def make_sliding_infer(
             return probs, probs > cfg.threshold
 
         # ---- general path: clamped grids / tiny images / deep overlap ----
-        ny, nx, n, padded_origins, weight2d_np, inv_np = _grid_and_weights(
+        ny, nx, n, eff, padded_origins, weight2d_np, inv_np = _grid_and_weights(
             h, w, count_padding=True)
         weight2d = jnp.asarray(weight2d_np)
         inv_weight = jnp.asarray(inv_np)
-        origins = jnp.asarray(padded_origins).reshape(-1, cfg.batch_tiles, 2)
+        origins = jnp.asarray(padded_origins).reshape(-1, eff, 2)
 
         def run_batch(prob_canvas, batch_origins):
             probs = forward_batch(image, batch_origins)

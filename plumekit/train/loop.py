@@ -197,6 +197,15 @@ def train(
                             overwrite=True)
         logger.info("restored best dev state (step %d, IoU %.3f)",
                     best_step, best_dev)
+    if checkpoint and start_step < train_cfg.total_steps:
+        from plumekit.train.checkpoint import latest_step as _latest_step
+
+        if (_latest_step(train_cfg.checkpoint_dir) or 0) < step_i + 1:
+            # a run shorter than both checkpoint_every and eval_every would
+            # otherwise end with NO saved weights and predict_model would
+            # silently serve an untrained net — always persist the final
+            # served state
+            save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1)
     history["eval_iou"].append(dev_iou(state))
     if train_cfg.eval_every:
         history["best_dev_iou"] = [best_dev]

@@ -212,3 +212,25 @@ def test_early_stopping_and_label_smoothing(tmp_path):
     assert len(hist["eval_steps"]) == 3
     assert hist["best_dev_step"] == [5.0]
     assert hist["eval_iou"]  # final eval still reported
+
+
+def test_short_train_always_saves_final_checkpoint(tmp_path):
+    """A run shorter than both checkpoint_every and eval_every must still
+    persist its final weights: predict_model restores latest_step and would
+    otherwise silently serve an untrained net (round-3 verify-drive find)."""
+    from plumekit.config.train import DataConfig, TrainConfig, UNetConfig
+    from plumekit.train.checkpoint import latest_step
+    from plumekit.train.loop import train
+
+    ckpt = str(tmp_path / "ckpt")
+    train(
+        unet_cfg=UNetConfig(base_features=8, depth=2,
+                            compute_dtype="float32"),
+        train_cfg=TrainConfig(
+            total_steps=3, batch_size=2, tile_size=32, log_every=10,
+            eval_every=0, checkpoint_dir=ckpt, checkpoint_every=1000,
+        ),
+        data_cfg=DataConfig(granule_size=64, n_train_granules=1,
+                            n_eval_granules=1),
+    )
+    assert latest_step(ckpt) == 3
