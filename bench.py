@@ -22,7 +22,7 @@ import numpy as np
 # batches full (1.27x overlap redundancy, no batch padding).
 # batch_tiles 64 = a whole 2048² grid in ONE forward: 77 -> 100.6 MPix/s
 # measured (fewer dispatched programs; round-2 op-count lever)
-GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "4096"))
+GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "8192"))
 TILE = int(os.environ.get("PLUMEKIT_BENCH_TILE", "288"))
 OVERLAP = int(os.environ.get("PLUMEKIT_BENCH_OVERLAP", "32"))
 BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "64"))
@@ -30,10 +30,13 @@ REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
 # G granules per dispatched program (vmapped sliding infer): amortises the
 # relay's fixed per-program/per-op dispatch tax across granules
 # (VERDICT round-2 weak #3); G=1 is the round-2 single-granule protocol.
-# Measured round 3 at 2048²: G=1 108.3, G=2 185.0, G=4 208.9 (peak),
-# G=6 208.3, G=8 200.1 MPix/s; at 4096²: G=1 132.3, G=2 217.1 (best
-# overall) — default to the measured optimum (2 VIIRS-scale granules)
-GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "2"))
+# Measured round 3 at 2048²: G=1 108.3, G=2 185.0, G=4 208.9, G=6 208.3,
+# G=8 200.1 MPix/s; at 4096²: G=1 132.3, G=2 217.1; at 8192² (unlocked by
+# the separable-weight-canvas fix — an (H,W) HLO constant previously blew
+# the remote-compile request limit): G=1 139.1, G=2 223.7, G=4 230.4
+# (peak), G=6 221.5, G=8 errors on memory; 16384² single 141.1 — default
+# to the measured optimum, 4 swath-scale granules per program
+GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
 
 
 def bench_tpu() -> float:

@@ -81,10 +81,19 @@ def make_sliding_infer(
             f"({tile}): the sliding stride would be {stride}")
 
     def _grid_and_weights(h, w, count_padding: bool):
-        """Static per-shape geometry: origins (batch-padded), inverse weight
-        canvas, and counts. ``count_padding`` adds the duplicate batch-fill
+        """Static per-shape geometry: origins (batch-padded), weight-canvas
+        factors, and counts. ``count_padding`` adds the duplicate batch-fill
         tiles to the weight canvas (the general path also adds their probs;
-        the fast path drops them before assembly)."""
+        the fast path drops them before assembly).
+
+        The weight canvas is SEPARABLE: the grid is a cross product of row
+        and column starts, so sum_tiles taper(y-oy)·taper(x-ox) =
+        (sum_i taper(y-oy_i)) · (sum_j taper(x-ox_j)); the batch-fill
+        duplicates all repeat the last origin, adding one rank-1 term. An
+        (H, W) canvas constant would be baked into the HLO and blow the
+        remote-compile request past its size limit at large granules
+        (256 MB at 8192² — observed HTTP 413), so only the 1-D factors are
+        trace-time constants and the outer product runs on device."""
         ys_np = tile_grid(h, tile, stride)
         xs_np = tile_grid(w, tile, stride)
         yy, xx = np.meshgrid(ys_np, xs_np, indexing="ij")
@@ -101,12 +110,29 @@ def make_sliding_infer(
         )
         taper_np = _taper(tile, cfg.overlap)
         weight2d_np = taper_np[:, None] * taper_np[None, :]
-        # weight canvas is a trace-time constant of the static grid
-        weight_canvas_np = np.zeros((h, w), np.float32)
-        for oy, ox in (padded if count_padding else origins_np):
-            weight_canvas_np[oy : oy + tile, ox : ox + tile] += weight2d_np
-        inv = 1.0 / np.maximum(weight_canvas_np, 1e-8)
-        return (len(ys_np), len(xs_np), n, eff, padded, weight2d_np, inv)
+
+        def axis_weight(starts, size):
+            acc = np.zeros(size, np.float32)
+            for s in starts:
+                acc[s : s + tile] += taper_np
+            return acc
+
+        wy_np, wx_np = axis_weight(ys_np, h), axis_weight(xs_np, w)
+
+        def inv_weight_canvas(hh, ww):
+            canvas = jnp.outer(jnp.asarray(wy_np[:hh]),
+                               jnp.asarray(wx_np[:ww]))
+            if count_padding and pad:
+                ty = np.zeros(h, np.float32)
+                ty[ys_np[-1] : ys_np[-1] + tile] = taper_np
+                tx = np.zeros(w, np.float32)
+                tx[xs_np[-1] : xs_np[-1] + tile] = taper_np
+                canvas = canvas + pad * jnp.outer(
+                    jnp.asarray(ty[:hh]), jnp.asarray(tx[:ww]))
+            return 1.0 / jnp.maximum(canvas, 1e-8)
+
+        return (len(ys_np), len(xs_np), n, eff, padded, weight2d_np,
+                inv_weight_canvas)
 
     @partial(jax.jit, static_argnames=())
     def infer(variables, image):
@@ -138,10 +164,10 @@ def make_sliding_infer(
         if tile <= 2 * stride and h >= tile and w >= tile:
             h2 = tile + -(-(h - tile) // stride) * stride
             w2 = tile + -(-(w - tile) // stride) * stride
-            ny, nx, n, eff, padded_origins, weight2d_np, inv_np = \
+            ny, nx, n, eff, padded_origins, weight2d_np, make_inv = \
                 _grid_and_weights(h2, w2, count_padding=False)
             weight2d = jnp.asarray(weight2d_np)
-            inv_weight = jnp.asarray(inv_np[:h, :w])
+            inv_weight = make_inv(h, w)
             img = jnp.pad(image, ((0, h2 - h), (0, w2 - w), (0, 0)),
                           mode="edge")
             origins = jnp.asarray(padded_origins).reshape(-1, eff, 2)
@@ -177,10 +203,10 @@ def make_sliding_infer(
             return probs, probs > cfg.threshold
 
         # ---- general path: clamped grids / tiny images / deep overlap ----
-        ny, nx, n, eff, padded_origins, weight2d_np, inv_np = _grid_and_weights(
-            h, w, count_padding=True)
+        ny, nx, n, eff, padded_origins, weight2d_np, make_inv = \
+            _grid_and_weights(h, w, count_padding=True)
         weight2d = jnp.asarray(weight2d_np)
-        inv_weight = jnp.asarray(inv_np)
+        inv_weight = make_inv(h, w)
         origins = jnp.asarray(padded_origins).reshape(-1, eff, 2)
 
         def run_batch(prob_canvas, batch_origins):
