@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Production train-loop dispatch amortisation (round 3).
+
+`experiments/train_bench.py` measures the in-one-jit step rate; the
+production loop previously dispatched one program per optimizer step, so
+the platform's fixed ~45 ms dispatch latency rode on every step. This
+times the REAL `train()` loop end-to-end at steps_per_dispatch K ∈
+{1, 4, 10}: same data, same keys, same logging cadence — the difference
+is purely how many steps each dispatched program carries.
+
+Usage: python experiments/loop_dispatch_bench.py [--steps 120]
+           [--geometry 16x128] [--cpu]
+"""
+
+import argparse
+import time
+
+p = argparse.ArgumentParser()
+p.add_argument("--steps", type=int, default=120)
+p.add_argument("--geometry", default="16x128",
+               help="batchxtile (the quality-loop geometry by default)")
+p.add_argument("--ks", default="1,4,10")
+p.add_argument("--cpu", action="store_true")
+args = p.parse_args()
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache" if not args.cpu
+                  else "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from plumekit.config.train import DataConfig, TrainConfig, UNetConfig
+from plumekit.train.loop import train
+
+batch, tile = (int(v) for v in args.geometry.split("x"))
+print(f"backend: {jax.default_backend()}  geometry: {batch}x{tile}²  "
+      f"steps: {args.steps}")
+
+data_cfg = DataConfig(granule_size=max(tile * 2, 256), n_train_granules=2,
+                      n_eval_granules=1)
+
+
+def run(k: int) -> float:
+    cfg = TrainConfig(total_steps=args.steps, batch_size=batch,
+                      tile_size=tile, log_every=args.steps // 2,
+                      eval_every=0, steps_per_dispatch=k)
+    t0 = time.perf_counter()
+    train(unet_cfg=UNetConfig(), train_cfg=cfg, data_cfg=data_cfg,
+          checkpoint=False)
+    return time.perf_counter() - t0
+
+
+px = batch * tile * tile * args.steps
+for k in (int(v) for v in args.ks.split(",")):
+    _ = run(k)                       # compile + warm (persistent cache)
+    dt = run(k)
+    print(f"K={k:3d}  {dt:6.2f} s wall  {px / dt / 1e6:6.1f} MPix/s "
+          f"(incl. data gen + final eval)")

@@ -317,6 +317,7 @@ def cmd_train_model(args) -> int:
             total_steps=args.steps, batch_size=args.batch_size,
             tile_size=args.tile, checkpoint_dir=os.path.join(
                 args.root, PathsConfig().model_dir, "checkpoints"),
+            steps_per_dispatch=args.steps_per_dispatch,
         ),
         data_cfg=DataConfig(granule_size=args.granule_size),
         mesh_cfg=mesh,
@@ -569,6 +570,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--curated", action="store_true",
                    help="train on curated samples from model_data_dir "
                         "(run prepare_model_data first)")
+    t.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps scanned inside one dispatched "
+                        "program (amortises the fixed per-program dispatch "
+                        "latency; chunks never cross a log/eval/checkpoint "
+                        "boundary)")
     t.set_defaults(fn=cmd_train_model)
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")

@@ -57,6 +57,12 @@ class TrainConfig:
     #: stop after this many consecutive evals without dev-IoU improvement
     #: (0 = never stop early); requires eval_every > 0
     early_stop_patience: int = 0
+    #: optimizer steps scanned inside one dispatched program (1 = a program
+    #: per step). On the tunneled platform a fixed ~45 ms dispatch latency
+    #: rides on every program, comparable to a config-2 step itself;
+    #: chunks never cross a log/eval/checkpoint boundary, and per-step
+    #: keys/data order are bit-exact vs the single-step path
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -19,13 +19,9 @@ from plumekit.train.augment import augment_batch
 from plumekit.train.state import TrainState
 
 
-def make_train_step(dice_weight: float = 0.5, augment: bool = True,
-                    mesh: Optional[Mesh] = None, label_smooth: float = 0.0):
-    """Returns ``step(state, xs, ys, rng) -> (state, metrics)``.
-
-    With a mesh, inputs are expected batch-sharded over ``data`` (see
-    :func:`shard_batch`); without one, it is a plain single-device jit.
-    """
+def _make_step_core(dice_weight: float, augment: bool, label_smooth: float):
+    """The un-jitted step body shared by the single-step and scanned
+    multi-step variants."""
 
     def step(state: TrainState, xs, ys, rng):
         if augment:
@@ -58,6 +54,18 @@ def make_train_step(dice_weight: float = 0.5, augment: bool = True,
         }
         return state, metrics
 
+    return step
+
+
+def make_train_step(dice_weight: float = 0.5, augment: bool = True,
+                    mesh: Optional[Mesh] = None, label_smooth: float = 0.0):
+    """Returns ``step(state, xs, ys, rng) -> (state, metrics)``.
+
+    With a mesh, inputs are expected batch-sharded over ``data`` (see
+    :func:`shard_batch`); without one, it is a plain single-device jit.
+    """
+    step = _make_step_core(dice_weight, augment, label_smooth)
+
     if mesh is not None:
         data_sharding = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
@@ -69,6 +77,49 @@ def make_train_step(dice_weight: float = 0.5, augment: bool = True,
             donate_argnums=(0,),
         )
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_multi_train_step(dice_weight: float = 0.5, augment: bool = True,
+                          mesh: Optional[Mesh] = None,
+                          label_smooth: float = 0.0, base_rng=None):
+    """Returns ``multi(state, xs (K, B, ...), ys (K, B, ...), steps (K,))
+    -> (state, last_metrics)`` — K optimizer steps scanned inside ONE
+    dispatched program.
+
+    On the tunneled platform a fixed ~45 ms dispatch latency rides on every
+    program call, which is comparable to the step itself at config-2 scale;
+    scanning K steps amortises it (the same lever that took inference from
+    108 to 230 MPix/s, BASELINE.md round 3). Semantics are identical to K
+    calls of :func:`make_train_step`: per-step keys are folded from the
+    GLOBAL step index inside the program (``fold_in(base_rng, step)``), so
+    data order, augmentation draws, and resume determinism match the
+    single-step path exactly (outputs agree to float tolerance — the
+    scanned program may fuse reductions in a different order).
+    """
+    core = _make_step_core(dice_weight, augment, label_smooth)
+    if base_rng is None:
+        base_rng = jax.random.PRNGKey(0)
+
+    def multi(state: TrainState, xs, ys, steps):
+        def body(st, args):
+            x, y, s = args
+            st, m = core(st, x, y, jax.random.fold_in(base_rng, s))
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, (xs, ys, steps))
+        return state, jax.tree_util.tree_map(lambda a: a[-1], ms)
+
+    if mesh is not None:
+        data_sharding = NamedSharding(mesh, P(None, "data"))
+        replicated = NamedSharding(mesh, P())
+        return jax.jit(
+            multi,
+            in_shardings=(replicated, data_sharding, data_sharding,
+                          replicated),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(dice_weight: float = 0.5):
