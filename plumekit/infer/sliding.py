@@ -253,6 +253,45 @@ def make_multi_granule_infer(
     return jax.jit(jax.vmap(single, in_axes=(None, 0)))
 
 
+def make_batch_infer_sharded(
+    apply_fn: Callable,
+    mesh,
+    cfg: InferConfig = InferConfig(),
+    channels: int = 2,
+    axis: str = "data",
+):
+    """Build ``infer(variables, images (D·G, H, W, C)) -> (probs, masks)``
+    — BASELINE.json config 5's pod-slice shape: the granule stack shards
+    over the mesh's ``axis`` and every device runs its local G granules'
+    tile grids in ONE program (the vmapped multi-granule formulation).
+
+    Two-level batching composes the framework's two throughput levers:
+    data parallelism across chips (no collectives — granules are
+    independent) and per-chip dispatch amortisation (BASELINE.md round 3:
+    108 → 230 MPix/s/chip at G=4). The leading dim must divide by the
+    axis size; params replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:  # jax >= 0.6 stable API
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        def shard_map(f, **kw):
+            if "check_vma" in kw:
+                kw["check_rep"] = kw.pop("check_vma")
+            return _sm(f, **kw)
+
+    single = make_sliding_infer(apply_fn, cfg, channels)
+    local = jax.vmap(single, in_axes=(None, 0))
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis)), out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def pad_to_multiple(image: np.ndarray, multiple: int) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Edge-pad H/W up to a multiple (U-Net needs 2**depth divisibility for
     arbitrary granules); returns (padded, original (H, W))."""

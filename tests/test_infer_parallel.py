@@ -164,3 +164,24 @@ def test_sliding_stitch_parity_class_fast_path():
                                    err_msg=f"tile={tile} ov={overlap} "
                                            f"hw={(h, w)}")
         assert mask.shape == (h, w)
+
+
+def test_batch_infer_sharded_matches_unsharded(model_and_vars):
+    """Config 5's pod-slice composition: D devices x G local granules per
+    program — outputs must equal the unsharded multi-granule path for the
+    same stack."""
+    from plumekit.infer import make_batch_infer_sharded, make_multi_granule_infer
+
+    model, variables = model_and_vars
+    mesh = make_mesh(MeshConfig(data=4))
+    cfg = InferConfig(tile_size=64, overlap=16, batch_tiles=4)
+    rng = np.random.default_rng(3)
+    # 8 granules over 4 devices -> G=2 per device
+    images = jnp.asarray(rng.random((8, 96, 96, 2)).astype(np.float32))
+    sharded = make_batch_infer_sharded(model.apply, mesh, cfg, channels=2)
+    plain = make_multi_granule_infer(model.apply, cfg, channels=2)
+    ps, ms = sharded(variables, images)
+    pu, mu = plain(variables, images)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ms), np.asarray(mu))
