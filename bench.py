@@ -177,9 +177,15 @@ def main() -> int:
     # the tunneled backend occasionally drops a dispatch with a transient
     # FAILED_PRECONDITION (observed round 3: identical program succeeded on
     # immediate re-run) — one retry keeps a blip from zeroing the round.
+    # Deterministic failures (OOM, compile errors) are NOT retried: on this
+    # platform a full re-run costs minutes and buries the real traceback.
+    _NO_RETRY = ("RESOURCE_EXHAUSTED", "out of memory", "Compilation failure",
+                 "INVALID_ARGUMENT")
     try:
         value = bench_tpu()
     except Exception as e:
+        if any(s.lower() in str(e).lower() for s in _NO_RETRY):
+            raise
         print(f"bench attempt 1 failed ({e!r}); retrying once", file=sys.stderr)
         time.sleep(10)
         value = bench_tpu()

@@ -192,8 +192,20 @@ class UTMResampler:
         # source UTM coordinates and grid extent: valid pixels only
         x, y = self.proj.forward(glons, glats)
         self.extent = (np.min(x), np.min(y), np.max(x), np.max(y))
-        self.x_size = int(np.round((self.extent[2] - self.extent[0]) / pixel_size))
-        self.y_size = int(np.round((self.extent[3] - self.extent[1]) / pixel_size))
+        # clamp to >=1: a source set spanning under half a pixel in either
+        # axis (e.g. a single valid retrieval in a fill-heavy granule with
+        # source_valid) would otherwise round to a 0-size grid with NaN
+        # cell sizes and crash far downstream in the detector
+        self.x_size = max(
+            1, int(np.round((self.extent[2] - self.extent[0]) / pixel_size)))
+        self.y_size = max(
+            1, int(np.round((self.extent[3] - self.extent[1]) / pixel_size)))
+        if self.extent[2] <= self.extent[0]:
+            self.extent = (self.extent[0], self.extent[1],
+                           self.extent[0] + pixel_size, self.extent[3])
+        if self.extent[3] <= self.extent[1]:
+            self.extent = (self.extent[0], self.extent[1],
+                           self.extent[2], self.extent[1] + pixel_size)
 
         # pyresample spaces x_size cells evenly over the EXTENT, so the
         # effective cell size is extent/size, not the nominal pixel_size

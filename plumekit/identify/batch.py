@@ -23,16 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.6 stable API
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map_exp
-
-    def shard_map(f, **kwargs):
-        # the experimental API spells check_vma as check_rep
-        if "check_vma" in kwargs:
-            kwargs["check_rep"] = kwargs.pop("check_vma")
-        return _shard_map_exp(f, **kwargs)
+from plumekit.parallel.compat import shard_map
 
 from functools import lru_cache
 

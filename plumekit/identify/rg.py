@@ -89,7 +89,12 @@ def identify(
         jnp.asarray(f_rows), jnp.asarray(f_cols), jnp.asarray(f_valid),
     )
     out = {k: np.asarray(v) for k, v in out.items()}
-    aod_df, hull_df = build_scene_dataframes(out, lat, lon)
+    masks: dict = {}
+    aod_df, hull_df = build_scene_dataframes(out, lat, lon, masks_out=masks)
+    # cache the per-id masks gathered during the single hull walk so
+    # plume_masks(out) need not repeat the host-side nonzero + Qhull pass
+    # per plume (build_features calls both on every granule)
+    out["plume_masks"] = masks
     return aod_df, hull_df, out
 
 
@@ -130,11 +135,13 @@ def plume_masks(out: dict) -> dict:
     229-233``), so curated training targets are convex FILLS of the plume;
     keeping the device mask drops false plumes without coarsening kept
     ones (measured: BASELINE.md round-3 false-plume rows)."""
+    if "plume_masks" in out:  # cached by identify()'s single walk
+        return out["plume_masks"]
     return {pid: mask for pid, _f, mask, _hy, _hx in _iter_valid_plumes(out)}
 
 
 def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
-                           dedup: bool = True):
+                           dedup: bool = True, masks_out: dict = None):
     """Assemble the reference's two outputs from the device result:
 
     * ``aod_df``: one row per accepted plume with pixel extent, bbox, AOD
@@ -145,10 +152,13 @@ def build_scene_dataframes(out: dict, lat: np.ndarray, lon: np.ndarray,
 
     ``dedup`` reproduces the trailing duplicate drop (``:453-455``): rows
     identical in all stats (two fires claiming one plume) collapse to the
-    first id.
+    first id. ``masks_out``, if given, is filled ``{plume_id: mask}`` during
+    the same walk (avoids a second hull pass for the curated-mask artifact).
     """
     aod_rows, hull_parts = [], []
     for plume_id, f, mask, hy, hx in _iter_valid_plumes(out):
+        if masks_out is not None:
+            masks_out[plume_id] = mask
         hull_parts.append(
             pd.DataFrame(
                 {

@@ -270,17 +270,9 @@ def make_batch_infer_sharded(
     independent) and per-chip dispatch amortisation (BASELINE.md round 3:
     108 → 230 MPix/s/chip at G=4). The leading dim must divide by the
     axis size; params replicate."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    try:  # jax >= 0.6 stable API
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _sm
-
-        def shard_map(f, **kw):
-            if "check_vma" in kw:
-                kw["check_rep"] = kw.pop("check_vma")
-            return _sm(f, **kw)
+    from plumekit.parallel.compat import shard_map
 
     single = make_sliding_infer(apply_fn, cfg, channels)
     local = jax.vmap(single, in_axes=(None, 0))

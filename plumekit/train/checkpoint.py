@@ -11,6 +11,41 @@ from typing import Optional
 import jax
 
 
+def _recover_swap(ckpt_dir: str) -> None:
+    """Finish or roll back an overwrite swap interrupted by a crash.
+
+    The swap sequence in :func:`save_checkpoint` is: save ``step_X.tmp`` →
+    rename ``step_X`` → ``step_X.old.tmp`` → rename ``step_X.tmp`` →
+    ``step_X`` → delete the old. Each crash point leaves a distinct presence
+    pattern, so recovery is unambiguous:
+
+    * ``tmp`` + ``path``, no ``old``: crash during (or before) the tmp save —
+      ``tmp`` may be partial; keep ``path``, drop ``tmp``.
+    * ``tmp`` + ``old``, no ``path``: crash between the renames — ``tmp`` is
+      complete (the rename only runs after the save); promote it.
+    * ``path`` + ``old``: crash before the final cleanup — drop ``old``.
+    """
+    import shutil
+
+    if not os.path.isdir(ckpt_dir):
+        return
+    for name in os.listdir(ckpt_dir):
+        if not name.endswith(".old.tmp"):
+            continue
+        path = os.path.join(ckpt_dir, name[: -len(".old.tmp")])
+        tmp, old = path + ".tmp", path + ".old.tmp"
+        if not os.path.exists(path) and os.path.exists(tmp):
+            os.rename(tmp, path)
+        elif not os.path.exists(path):
+            # defensive: the old copy is the only one left — roll back
+            os.rename(old, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    for name in os.listdir(ckpt_dir):
+        if name.endswith(".tmp"):  # remaining tmps are partial saves
+            shutil.rmtree(os.path.join(ckpt_dir, name))
+
+
 def save_checkpoint(ckpt_dir: str, state, step: int,
                     overwrite: bool = False) -> None:
     """``overwrite=False`` makes re-saves idempotent (a resumed run hitting
@@ -21,6 +56,7 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
 
     import orbax.checkpoint as ocp
 
+    _recover_swap(ckpt_dir)
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     if os.path.exists(path):
         if not overwrite:
@@ -30,9 +66,6 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
         # move the old one aside, swap the new one in, then drop the old
         tmp = path + ".tmp"
         old = path + ".old.tmp"
-        for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(tmp, jax.device_get(state))
         os.rename(path, old)
@@ -46,6 +79,7 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
+    _recover_swap(ckpt_dir)
     steps = [
         int(d.split("_")[1])
         for d in os.listdir(ckpt_dir)

@@ -139,6 +139,38 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_interrupted_swap_recovers(tmp_path):
+    """A crash between the overwrite swap's two renames leaves only
+    step_X.tmp + step_X.old.tmp; latest_step must promote the complete new
+    checkpoint instead of silently resuming from an older step."""
+    import os
+    import shutil
+
+    from plumekit.train import save_checkpoint, restore_checkpoint, latest_step
+
+    state = create_state(jax.random.PRNGKey(0), SMALL_UNET, SMALL_TRAIN)
+    save_checkpoint(str(tmp_path), state, 3)
+    path = os.path.join(str(tmp_path), "step_00000003")
+
+    # simulate the mid-swap crash state: complete tmp, path moved aside
+    shutil.copytree(path, path + ".tmp")
+    os.rename(path, path + ".old.tmp")
+    assert latest_step(str(tmp_path)) == 3          # recovered
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + ".tmp")
+    assert not os.path.exists(path + ".old.tmp")
+    zeroed = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(str(tmp_path), zeroed)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+
+    # a partial tmp next to an intact checkpoint is swept, never promoted
+    os.makedirs(path + ".tmp")
+    assert latest_step(str(tmp_path)) == 3
+    assert not os.path.exists(path + ".tmp")
+
+
 def test_worklog(tmp_path):
     from plumekit.train import WorkLog
 

@@ -191,3 +191,33 @@ def test_resampler_all_invalid_source_degenerates_cleanly():
     out = np.asarray(rs.resample_image(np.ones(lat.shape, np.float32),
                                        fill_value=np.nan))
     assert np.isnan(out).all()
+
+
+def test_resampler_near_degenerate_source_clamps_to_one_cell():
+    """A valid set spanning under half a pixel (e.g. one surviving
+    retrieval in a fill-heavy granule) must clamp to a >=1-cell grid with
+    finite cell sizes, not round to a 0x0 grid with NaN geometry."""
+    from plumekit.geo.utm import UTMResampler
+
+    lat, lon = np.mgrid[40:41:32j, -3:-2:32j]
+    valid = np.zeros(lat.shape, bool)
+    valid[16, 16] = True  # single valid pixel: extent width/height == 0
+    rs = UTMResampler(lat, lon, pixel_size=750.0, source_valid=valid)
+    assert rs.x_size >= 1 and rs.y_size >= 1
+    assert np.isfinite(rs.cell_x) and rs.cell_x > 0
+    assert np.isfinite(rs.cell_y) and rs.cell_y > 0
+    img = np.full(lat.shape, 7.0, np.float32)
+    out = np.asarray(rs.resample_image(img, fill_value=np.nan))
+    assert out.shape == (rs.y_size, rs.x_size)
+    # the one valid pixel resolves to the one covering cell
+    assert np.nanmax(out) == 7.0
+    lon_g, lat_g = rs.lonlats()
+    assert np.isfinite(lat_g).all() and np.isfinite(lon_g).all()
+
+    # a handful of clustered valid pixels (sub-pixel extent in one axis
+    # only) must also survive
+    valid[16, 17] = True
+    rs2 = UTMResampler(lat, lon, pixel_size=75000.0, source_valid=valid)
+    assert rs2.x_size >= 1 and rs2.y_size >= 1
+    out2 = np.asarray(rs2.resample_image(img, fill_value=np.nan))
+    assert np.nanmax(out2) == 7.0

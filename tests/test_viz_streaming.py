@@ -139,9 +139,10 @@ def test_stream_inference_quantized_matches_fp32(tmp_path, rng):
     assert ref.keys() == q.keys()
     for k in ref:
         np.testing.assert_allclose(q[k], ref[k], atol=1e-2)
-        # and the payload really was uint16-exactly-representable: the
-        # two streams must not be IDENTICAL (quantisation happened)...
         assert q[k].shape == ref[k].shape
+    # and quantisation really happened: if quantize=True silently fell
+    # through to the fp32 path every output would be bit-identical
+    assert any(not np.array_equal(q[k], ref[k]) for k in ref)
 
 
 def test_stream_inference_batched_matches_serial(tmp_path, rng):
