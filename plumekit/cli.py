@@ -328,19 +328,15 @@ def cmd_train_model(args) -> int:
     return 0
 
 
-def cmd_predict_model(args) -> int:
-    """Sliding-window inference over granules → plume-probability NPZs."""
+def _restore_variables(args):
+    """Shared by predict/export: build the model state and restore the
+    latest checkpoint (warns and keeps fresh weights if none exists)."""
     import jax
 
-    from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
-    from plumekit.infer import make_sliding_infer
-    from plumekit.io.granule import (GRANULE_EXTENSIONS, load_granule,
-                                     NULL_VALUE)
-    from plumekit.models import UNet
+    from plumekit.config.train import TrainConfig, UNetConfig
     from plumekit.train.checkpoint import restore_checkpoint, latest_step
     from plumekit.train.state import create_state
 
-    paths = PathsConfig(root=args.root)
     unet_cfg = UNetConfig()
     state = create_state(jax.random.PRNGKey(0), unet_cfg, TrainConfig())
     ckpt_dir = args.checkpoint or os.path.join(args.root,
@@ -350,21 +346,51 @@ def cmd_predict_model(args) -> int:
         state = restore_checkpoint(ckpt_dir, state)
         logger.info("restored checkpoint step %s", latest_step(ckpt_dir))
     else:
-        logger.warning("no checkpoint found in %s — predicting with "
-                       "untrained weights", ckpt_dir)
-
-    model = UNet(unet_cfg)
-    if args.fused:
-        from plumekit.models.fused_forward import make_fused_apply
-
-        apply_fn = make_fused_apply(unet_cfg)
-    else:
-        apply_fn = model.apply
-    infer = make_sliding_infer(apply_fn, InferConfig(tile_size=args.tile),
-                               channels=unet_cfg.in_channels)
+        logger.warning("no checkpoint found in %s — using untrained "
+                       "weights", ckpt_dir)
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
+    return unet_cfg, variables
+
+
+def cmd_predict_model(args) -> int:
+    """Sliding-window inference over granules → plume-probability NPZs."""
+    from plumekit.config.train import InferConfig
+    from plumekit.io.granule import (GRANULE_EXTENSIONS, load_granule,
+                                     NULL_VALUE)
+    from plumekit.models import UNet
+
+    paths = PathsConfig(root=args.root)
+    unet_cfg, variables = _restore_variables(args)
+
+    batch_granules = args.batch_granules
+    infer_is_batched = False
+    if getattr(args, "exported", None):
+        # AOT-exported serving artifact (plumekit.infer.export): the whole
+        # inference program is deserialized StableHLO — no model re-trace
+        from plumekit.infer.export import load_exported
+
+        infer, meta = load_exported(args.exported)
+        depth = int(meta["depth"])
+        batch_granules = int(meta["granules"])
+        infer_is_batched = batch_granules > 1
+        logger.info("serving exported program %s (granule %s, G=%d)",
+                    args.exported, tuple(meta["granule_hw"]), batch_granules)
+    else:
+        from plumekit.infer import make_sliding_infer
+
+        model = UNet(unet_cfg)
+        if args.fused:
+            from plumekit.models.fused_forward import make_fused_apply
+
+            apply_fn = make_fused_apply(unet_cfg)
+        else:
+            apply_fn = model.apply
+        infer = make_sliding_infer(apply_fn,
+                                   InferConfig(tile_size=args.tile),
+                                   channels=unet_cfg.in_channels)
+        depth = unet_cfg.depth
 
     out_dir = os.path.join(args.root, "processed", "predictions")
     os.makedirs(out_dir, exist_ok=True)
@@ -379,8 +405,9 @@ def cmd_predict_model(args) -> int:
     from plumekit.infer.streaming import stream_inference
 
     for name, probs in stream_inference(
-        granule_paths, infer, variables, unet_cfg.depth,
-        quantize=args.quantize, batch_granules=args.batch_granules,
+        granule_paths, infer, variables, depth,
+        quantize=args.quantize, batch_granules=batch_granules,
+        infer_is_batched=infer_is_batched,
     ):
         out = os.path.join(out_dir, name + "_pred.npz")
         np.savez_compressed(out, probs=probs, mask=probs > 0.5)
@@ -395,6 +422,34 @@ def cmd_predict_model(args) -> int:
             aod[aod == NULL_VALUE] = 0.0
             plot_prediction(aod, probs,
                             os.path.join(out_dir, name + "_pred.png"))
+    return 0
+
+
+def cmd_export_model(args) -> int:
+    """AOT-export the inference program to a portable serving artifact
+    (StableHLO via ``jax.export``) — serve without model code or re-trace."""
+    from plumekit.config.train import InferConfig, UNetConfig
+    from plumekit.infer.export import export_sliding_infer, save_exported
+
+    unet_cfg, variables = _restore_variables(args)
+    div = 2 ** unet_cfg.depth
+    h = args.granule + (-args.granule) % div
+    w = (args.granule_width or args.granule)
+    w += (-w) % div
+    if (h, w) != (args.granule, args.granule_width or args.granule):
+        logger.info("granule padded to (%d, %d) for 2**depth divisibility",
+                    h, w)
+    icfg = InferConfig(tile_size=args.tile, overlap=args.overlap,
+                       batch_tiles=args.batch_tiles)
+    exported, meta = export_sliding_infer(
+        variables, unet_cfg, icfg, (h, w),
+        granules=args.batch_granules,
+        platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
+    )
+    out = args.out or os.path.join(args.root, PathsConfig().model_dir,
+                                   "exported")
+    save_exported(exported, meta, out)
+    print(out)
     return 0
 
 
@@ -593,7 +648,35 @@ def build_parser() -> argparse.ArgumentParser:
                     help="uint16 host→HBM payloads with on-device dequant "
                          "(halves transfer bytes; pays when the link, not "
                          "the host, is the bottleneck)")
+    pr.add_argument("--exported", default=None,
+                    help="serve an AOT-exported artifact dir (see "
+                         "export_model) instead of tracing the live model; "
+                         "granule geometry must match the export")
     pr.set_defaults(fn=cmd_predict_model)
+
+    ex = sub.add_parser("export_model",
+                        help="AOT-export inference to a serving artifact "
+                             "(StableHLO via jax.export; no model code or "
+                             "re-trace needed to serve)")
+    _add_root(ex)
+    ex.add_argument("--checkpoint", default=None)
+    ex.add_argument("--granule", type=int, default=2048,
+                    help="granule height (pixels); padded to 2**depth")
+    ex.add_argument("--granule-width", type=int, default=None,
+                    help="granule width if not square")
+    ex.add_argument("--batch-granules", type=int, default=1,
+                    help="granules per program (the round-3 dispatch-"
+                         "amortisation lever; 4 is the measured 8192² "
+                         "optimum on the tunneled v5e)")
+    ex.add_argument("--tile", type=int, default=288)
+    ex.add_argument("--overlap", type=int, default=32)
+    ex.add_argument("--batch-tiles", type=int, default=64)
+    ex.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated lowering targets (export once, "
+                         "serve on any listed backend)")
+    ex.add_argument("--out", default=None,
+                    help="artifact dir (default <root>/models/exported)")
+    ex.set_defaults(fn=cmd_export_model)
 
     i = sub.add_parser("identify", help="identify plumes in one granule")
     i.add_argument("granule")

@@ -1,0 +1,171 @@
+"""AOT model export — a portable serving artifact via ``jax.export``.
+
+The reference promised a deployable model (``README.md:41-45``:
+``predict_model`` consuming ``models/``) but shipped neither; plumekit's
+live path re-traces the U-Net from Python on every process start. For
+production serving that is a liability: the serving host must carry the
+model code, the exact flax/plumekit versions, and pay a fresh trace +
+compile. ``jax.export`` is the TPU-native answer: lower the ENTIRE jitted
+inference program (sliding-window forward + overlap-blend stitching, or the
+multi-granule vmapped variant) to StableHLO once, serialize it, and serve
+the artifact anywhere a JAX runtime exists — no model code, no flax, no
+re-trace; XLA recompiles the portable bytecode for the local chip.
+
+Artifact layout (a directory)::
+
+    program.stablehlo   serialized jax.export.Exported bytes
+    meta.json           shapes, tile/overlap geometry, platforms, versions
+
+Parameters are deliberately NOT baked into the program: the exported
+function takes ``(variables, image)`` like the live path, so one artifact
+serves every checkpoint of the architecture (restore via orbax as usual).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from plumekit.utils import get_logger
+
+logger = get_logger(__name__)
+
+_PROGRAM = "program.stablehlo"
+_META = "meta.json"
+#: exported artifact format version (bump on meta/layout changes)
+FORMAT_VERSION = 1
+
+
+def export_sliding_infer(
+    variables,
+    unet_cfg,
+    infer_cfg,
+    granule_hw: Tuple[int, int],
+    granules: int = 1,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+):
+    """Lower the full inference program for a fixed granule geometry.
+
+    ``granule_hw`` is the PADDED granule shape the program will accept
+    (must be divisible by ``2**unet_cfg.depth`` — the shape
+    :func:`plumekit.infer.sliding.pad_to_multiple` produces);
+    ``granules > 1`` exports the multi-granule one-dispatch variant
+    (BASELINE.md round 3: the headline 230 MPix/s shape). ``platforms``
+    defaults to a multi-platform artifact: export once on any host, serve
+    on TPU or CPU.
+
+    Returns ``(jax.export.Exported, meta dict)``.
+    """
+    import jax
+    from jax import export as jexport
+
+    from plumekit.infer.sliding import (make_multi_granule_infer,
+                                        make_sliding_infer)
+    from plumekit.models import UNet
+
+    h, w = granule_hw
+    div = 2 ** unet_cfg.depth
+    if h % div or w % div:
+        raise ValueError(
+            f"granule shape {granule_hw} must be divisible by 2**depth "
+            f"({div}); pad with plumekit.infer.sliding.pad_to_multiple")
+
+    model = UNet(unet_cfg)
+    if granules > 1:
+        fn = make_multi_granule_infer(model.apply, infer_cfg,
+                                      channels=unet_cfg.in_channels)
+        image_spec = jax.ShapeDtypeStruct(
+            (granules, h, w, unet_cfg.in_channels), np.float32)
+    else:
+        fn = make_sliding_infer(model.apply, infer_cfg,
+                                channels=unet_cfg.in_channels)
+        image_spec = jax.ShapeDtypeStruct((h, w, unet_cfg.in_channels),
+                                          np.float32)
+
+    var_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        variables)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        var_specs, image_spec)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "granule_hw": [int(h), int(w)],
+        "granules": int(granules),
+        "in_channels": int(unet_cfg.in_channels),
+        "depth": int(unet_cfg.depth),
+        "tile_size": int(infer_cfg.tile_size),
+        "overlap": int(infer_cfg.overlap),
+        "batch_tiles": int(infer_cfg.batch_tiles),
+        "threshold": float(infer_cfg.threshold),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    return exported, meta
+
+
+def save_exported(exported, meta: dict, out_dir: str) -> str:
+    """Write the artifact directory; returns ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    logger.info("exported %d-byte program -> %s", len(blob), out_dir)
+    return out_dir
+
+
+def load_exported(artifact_dir: str):
+    """Load an artifact: returns ``(infer_fn, meta)`` where
+    ``infer_fn(variables, image) -> (probs, masks)`` executes the
+    deserialized program on the current backend (jit-compatible — it may be
+    called from inside another jitted function, e.g. the streaming
+    dequant wrapper)."""
+    from jax import export as jexport
+
+    with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(artifact_dir, _META)) as f:
+        meta = json.load(f)
+    if meta.get("format_version", 0) > FORMAT_VERSION:
+        raise ValueError(
+            f"artifact {artifact_dir} has format_version "
+            f"{meta['format_version']} > supported {FORMAT_VERSION}; "
+            "upgrade plumekit")
+    import jax
+
+    backend = jax.default_backend().lower()
+    plats = [p.lower() for p in meta.get("platforms", [])]
+    if plats and backend not in plats:
+        # fail at load, not deep inside the first streamed batch, with the
+        # remedy in the message (exported.call re-checks authoritatively)
+        raise ValueError(
+            f"artifact {artifact_dir} was exported for platforms {plats} "
+            f"but the current backend is '{backend}'; re-export with "
+            f"export_model --platforms {backend} (or 'tpu,cpu' for a "
+            "portable artifact)")
+
+    expected_hw = tuple(meta["granule_hw"])
+    granules = int(meta.get("granules", 1))
+    channels = int(meta["in_channels"])
+    want = ((granules,) + expected_hw + (channels,) if granules > 1
+            else expected_hw + (channels,))
+
+    def infer_fn(variables, image):
+        if tuple(np.shape(image)) != want:
+            raise ValueError(
+                f"exported program expects image shape {want} "
+                f"(granule {expected_hw}, G={granules}; pad with "
+                f"pad_to_multiple(2**{meta['depth']})), got "
+                f"{tuple(np.shape(image))}")
+        return exported.call(variables, image)
+
+    return infer_fn, meta
+
+
+def is_artifact(path: Optional[str]) -> bool:
+    return bool(path) and os.path.isfile(os.path.join(path, _PROGRAM))

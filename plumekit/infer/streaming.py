@@ -96,6 +96,7 @@ def stream_inference(
     decode_workers: Optional[int] = None,
     quantize: bool = False,
     batch_granules: int = 1,
+    infer_is_batched: bool = False,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
     stream: a ``decode_workers``-thread pool decodes granules in parallel
@@ -116,7 +117,20 @@ def stream_inference(
     each group through ONE dispatched program (``jax.vmap`` over the
     granule axis — the per-program dispatch tax amortises across G;
     see :func:`plumekit.infer.sliding.make_multi_granule_infer`). The
-    tail group runs at its natural (smaller) size."""
+    tail group runs at its natural (smaller) size.
+
+    ``infer_is_batched=True`` says ``infer_fn`` itself accepts the stacked
+    ``(G, H, W, C)`` group (an AOT-exported multi-granule program,
+    :mod:`plumekit.infer.export`, or :func:`make_multi_granule_infer`
+    directly). Groups are then fed whole — no vmap wrapping, which a
+    fixed-shape exported program could not accept — and a ragged tail is
+    padded by repeating its last granule (the duplicate outputs are
+    dropped), since the program's leading dim is baked in."""
+    if infer_is_batched and batch_granules < 2:
+        raise ValueError(
+            "infer_is_batched requires batch_granules >= 2 (the program's "
+            "leading granule dim); a single-granule program takes plain "
+            "(H, W, C) images — pass infer_is_batched=False")
     if decode_workers is None:
         import os
 
@@ -150,21 +164,41 @@ def stream_inference(
         def run_one(variables, payload):
             return infer_fn(variables, payload)
 
-    if batch_granules <= 1:
+    if batch_granules <= 1 and not infer_is_batched:
         run_one = jax.jit(run_one)
         for name, payload, (h, w) in stream:
             probs, _mask = run_one(variables, payload)
             yield name, np.asarray(probs)[:h, :w]
         return
 
-    run_group = jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
+    if infer_is_batched:
+        # infer_fn consumes the whole (G, H, W, C) stack itself; dequant
+        # params are stacked per granule, so broadcast over the spatial dims
+        if quantize:
+            def run_group_fn(variables, payload):
+                q, lo, scale = payload
+                return infer_fn(variables,
+                                _dequantize(q, lo[:, None, None, :],
+                                            scale[:, None, None, :]))
+        else:
+            def run_group_fn(variables, payload):
+                return infer_fn(variables, payload)
+        run_group = jax.jit(run_group_fn)
+    else:
+        run_group = jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
 
     def flush(group):
+        n = len(group)
+        if infer_is_batched and n < batch_granules:
+            # fixed-leading-dim program (AOT export): pad the ragged tail
+            # by repeating the last granule; its duplicate outputs are
+            # dropped below
+            group = group + [group[-1]] * (batch_granules - n)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                *[p for _, p, _ in group])
         probs, _masks = run_group(variables, stacked)
         probs = np.asarray(probs)
-        for i, (name, _p, (h, w)) in enumerate(group):
+        for i, (name, _p, (h, w)) in enumerate(group[:n]):
             yield name, probs[i, :h, :w]
 
     group = []
