@@ -24,6 +24,10 @@ import numpy as np
 # measured (fewer dispatched programs; round-2 op-count lever)
 GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "8192"))
 TILE = int(os.environ.get("PLUMEKIT_BENCH_TILE", "288"))
+# overlap 32 = config 3's overlap-blend semantics (the honest default).
+# TILE=256 OVERLAP=0 is the measured fast-tiling mode: 293.9 MPix/s at the
+# default granule config (+27.5% — the stitching redundancy removed) at a
+# measured ~0.07% seam mask-flip cost (docs/performance.md round-3 sweep)
 OVERLAP = int(os.environ.get("PLUMEKIT_BENCH_OVERLAP", "32"))
 BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "64"))
 REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))

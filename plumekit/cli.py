@@ -388,7 +388,8 @@ def cmd_predict_model(args) -> int:
         else:
             apply_fn = model.apply
         infer = make_sliding_infer(apply_fn,
-                                   InferConfig(tile_size=args.tile),
+                                   InferConfig(tile_size=args.tile,
+                                               overlap=args.overlap),
                                    channels=unet_cfg.in_channels)
         depth = unet_cfg.depth
 
@@ -636,6 +637,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_root(pr)
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--tile", type=int, default=288)
+    pr.add_argument("--overlap", type=int, default=32,
+                    help="blended tile overlap; 0 = disjoint fast tiling "
+                         "(measured: ~0.07%% seam mask flips vs the whole-"
+                         "image forward, docs/performance.md)")
     pr.add_argument("--plot", action="store_true")
     pr.add_argument("--fused", action="store_true",
                     help="Pallas fused conv+BN+ReLU forward (deep levels)")

@@ -58,6 +58,28 @@ def test_sliding_infer_matches_direct(model_and_vars):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sliding_infer_fast_tiling_disjoint(model_and_vars):
+    """overlap=0 with a multi-tile grid (the measured fast-tiling serving
+    mode, +27.5% at the headline config): each disjoint tile's stitched
+    region equals that tile's direct forward exactly — no taper, no
+    cross-tile mixing."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    image = rng.random((96, 96, 2)).astype(np.float32)
+    cfg = InferConfig(tile_size=48, overlap=0, batch_tiles=2)
+    infer = make_sliding_infer(model.apply, cfg, channels=2)
+    probs, _ = infer(variables, jnp.asarray(image))
+    probs = np.asarray(probs)
+    for oy in (0, 48):
+        for ox in (0, 48):
+            tile = jnp.asarray(image[oy:oy + 48, ox:ox + 48])[None]
+            direct = jax.nn.sigmoid(
+                model.apply(variables, tile, train=False)[0, ..., 0])
+            np.testing.assert_allclose(
+                probs[oy:oy + 48, ox:ox + 48], np.asarray(direct),
+                rtol=1e-5, atol=1e-5)
+
+
 def test_sliding_infer_overlap_blend_smooth(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.default_rng(1)
