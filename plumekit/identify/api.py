@@ -70,13 +70,11 @@ def identify(
         aod_df, hull_df, out = _rg.identify(
             aod, granule.lat, granule.lon, date_to_find, fire_df, cfg
         )
-        masks = {
-            int(i): m
-            for i, m in zip(
-                np.nonzero(out["accepted"])[0], out["mask"][out["accepted"]]
-            )
-        }
-        return PlumeSet(aod_stats=aod_df, hulls=hull_df, masks=masks)
+        # plume-ID-keyed masks from identify()'s single hull walk — keys
+        # match aod_df/hull_df ids exactly (a zip over accepted FIRE slots
+        # here would drift whenever a degenerate-hull plume is dropped)
+        return PlumeSet(aod_stats=aod_df, hulls=hull_df,
+                        masks=_rg.plume_masks(out))
 
     if isinstance(cfg, GaussianIdentifyConfig):
         hull_df = _gaussian.identify_granule(granule, fire_df, date_to_find, cfg)

@@ -87,10 +87,10 @@ def _make_program(cfg: BasicIdentifyConfig):
         keep_f &= area_f <= cfg.max_plume_pixels
         keep_f &= area_f >= cfg.min_plume_pixels
 
-        # first-occurrence dedup for output enumeration
-        eq_earlier = jnp.tril(lab_eff[:, None] == lab_eff[None, :], k=-1)
-        first = ~(eq_earlier & keep_f[None, :]).any(axis=1)
-        plume_f = keep_f & first
+        # no first-occurrence dedup needed: the counts < 2 gate above
+        # already removed EVERY pair of live fires sharing a label, so no
+        # two keep_f fires can still reference the same component
+        plume_f = keep_f
 
         fire_masks = jnp.where(
             plume_f[:, None, None], labels[None] == lab_f[:, None, None],

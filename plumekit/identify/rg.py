@@ -93,8 +93,12 @@ def identify(
     aod_df, hull_df = build_scene_dataframes(out, lat, lon, masks_out=masks)
     # cache the per-id masks gathered during the single hull walk so
     # plume_masks(out) need not repeat the host-side nonzero + Qhull pass
-    # per plume (build_features calls both on every granule)
-    out["plume_masks"] = masks
+    # per plume (build_features calls both on every granule). Restrict to
+    # the ids that survived the dataframe dedup — plume_masks' contract is
+    # "every plume that appears in the scene dataframes", and an orphan
+    # key would surface as a phantom plume in the saved *_masks.npz
+    kept = set(int(i) for i in aod_df.id) if len(aod_df) else set()
+    out["plume_masks"] = {pid: m for pid, m in masks.items() if pid in kept}
     return aod_df, hull_df, out
 
 

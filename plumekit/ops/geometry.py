@@ -67,7 +67,10 @@ def points_in_convex_hull(points, hull_vertices, n_valid):
     ``hull_vertices`` (K, 2) of which the first ``n_valid`` are real (the rest
     pad). Vertices must be in hull order (scipy ``ConvexHull.vertices`` is
     CCW). Boundary points count as inside (matches Delaunay
-    ``find_simplex >= 0``)."""
+    ``find_simplex >= 0``). Degenerate inputs (``n_valid < 3``: empty/padded
+    slot, point, or segment) contain nothing — without this gate the masked
+    cross products are all zero and EVERY query point would test inside an
+    empty hull."""
     k = hull_vertices.shape[0]
     idx = jnp.arange(k)
     nxt = jnp.where(idx + 1 < n_valid, idx + 1, 0)
@@ -81,7 +84,7 @@ def points_in_convex_hull(points, hull_vertices, n_valid):
     # CCW polygons: inside iff all crosses >= 0; tolerate CW by symmetric test
     inside_ccw = jnp.all(cross >= 0.0, axis=1)
     inside_cw = jnp.all(cross <= 0.0, axis=1)
-    return inside_ccw | inside_cw
+    return (inside_ccw | inside_cw) & (n_valid >= 3)
 
 
 def convex_hull_vertices_host(points: np.ndarray) -> np.ndarray:

@@ -164,6 +164,18 @@ def count_peaks_masked(values, valid, flat_tol=0.0):
 # Line transects
 # ---------------------------------------------------------------------------
 
+def _line_coords(slope, intercept, min_c, max_c, n_samples: int):
+    """The transect sampling parameterisation (x uniform over
+    [min_c, max_c], y on the line) — single source shared by
+    :func:`line_transect` and :func:`line_transect_in_mask` so the mask
+    test's integer cells can never desynchronise from the sampled
+    coordinates."""
+    t = jnp.arange(n_samples, dtype=jnp.float32) / (n_samples - 1)
+    x = min_c + (max_c - min_c) * t
+    y = slope * x + intercept
+    return x, y
+
+
 @partial(jax.jit, static_argnames=("n_samples",))
 def line_transect(aod, slope, intercept, min_r, min_c, max_r, max_c,
                   n_samples: int = 1000):
@@ -175,9 +187,7 @@ def line_transect(aod, slope, intercept, min_r, min_c, max_r, max_c,
 
     Returns ``(samples, valid)`` of fixed length ``n_samples``.
     """
-    t = jnp.arange(n_samples, dtype=jnp.float32) / (n_samples - 1)
-    x = min_c + (max_c - min_c) * t
-    y = slope * x + intercept
+    x, y = _line_coords(slope, intercept, min_c, max_c, n_samples)
     valid = (y > min_r) & (y < max_r)
     # scipy's default mode='constant' (cval 0) returns 0 for ANY coordinate
     # outside the image extent [0, n-1] (no edge blending — verified against
@@ -201,9 +211,7 @@ def line_transect_in_mask(aod, mask, slope, intercept, min_r, min_c, max_r,
     samples, valid = line_transect(
         aod, slope, intercept, min_r, min_c, max_r, max_c, n_samples
     )
-    t = jnp.arange(n_samples, dtype=jnp.float32) / (n_samples - 1)
-    x = min_c + (max_c - min_c) * t
-    y = slope * x + intercept
+    x, y = _line_coords(slope, intercept, min_c, max_c, n_samples)
     yi = jnp.clip(y.astype(jnp.int32), 0, mask.shape[0] - 1)
     xi = jnp.clip(x.astype(jnp.int32), 0, mask.shape[1] - 1)
     inside = mask[yi, xi]

@@ -200,6 +200,10 @@ def test_api_dispatch():
     ps = identify(scene.granule, scene.fires, date, RG_CFG)
     assert isinstance(ps, PlumeSet)
     assert len(ps) == len(ps.aod_stats)
+    # masks are keyed by PLUME id (the dataframe ids), not fire slot —
+    # keys must match aod_stats exactly (degenerate-hull drops and dedup
+    # both shift plume ids off the accepted-fire enumeration)
+    assert set(ps.masks) == set(int(i) for i in ps.aod_stats.id)
     for mask in ps.masks.values():
         assert mask.shape == (256, 256)
 

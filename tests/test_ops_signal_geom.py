@@ -225,6 +225,17 @@ def test_points_in_hull_matches_delaunay(rng):
     assert disagree.mean() < 0.02
 
 
+def test_points_in_hull_degenerate_contains_nothing(rng):
+    """n_valid < 3 (empty/padded slot, point, segment) must contain no
+    query point — the masked cross products are all zero there, and
+    without the gate EVERY point tests inside an empty hull."""
+    queries = jnp.asarray(rng.random((50, 2)) * 10)
+    padded = jnp.zeros((8, 2))
+    for n_valid in (0, 1, 2):
+        got = np.asarray(points_in_convex_hull(queries, padded, n_valid))
+        assert not got.any(), f"n_valid={n_valid} leaked containment"
+
+
 def test_dbscan_haversine_matches_sklearn(rng):
     from sklearn.cluster import DBSCAN
 
