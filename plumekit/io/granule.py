@@ -50,6 +50,34 @@ class Granule:
         return self.layers[ts] == NULL_VALUE
 
 
+#: hull-CSV timestamp sentinel for detectors that run on the first layer
+#: (rg/basic read a single layer — the reference rg main at
+#: ``plume_identifier_rg.py:572`` — so their hull rows carry no real orbit
+#: timestamp; the select CLI stamps this instead)
+LAYER0_SENTINEL = "layer0"
+
+
+def resolve_layer(granule: Granule, ts) -> np.ndarray:
+    """The AOD layer a hull-CSV ``datetime`` names — the ONE strict
+    resolution shared by curation review and curated-training assembly.
+
+    ``layer0`` (the sentinel) and single-layer granules resolve to
+    :meth:`Granule.first_layer`; an unknown timestamp on a multi-orbit
+    granule raises — silently falling back would pair plume masks or
+    curator decisions with the WRONG orbit's AOD, corrupting downstream
+    data with no error."""
+    ts = str(ts)
+    if ts == LAYER0_SENTINEL:
+        return granule.first_layer()
+    if ts in granule.layers:
+        return granule.layers[ts]
+    if len(granule.layers) == 1:
+        return granule.first_layer()
+    raise ValueError(
+        f"hull timestamp {ts!r} not among granule layers "
+        f"{sorted(granule.layers)}; cannot pick an orbit layer")
+
+
 def save_granule(path: str, granule: Granule) -> None:
     """NPZ (``.npz``) or HDF5 (``.h5``/``.hdf5``) serialisation."""
     if path.endswith((".h5", ".hdf5")):

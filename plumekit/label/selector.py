@@ -24,7 +24,7 @@ from typing import Callable, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from plumekit.io.granule import Granule
+from plumekit.io.granule import Granule, resolve_layer
 from plumekit.utils import get_logger
 
 logger = get_logger(__name__)
@@ -130,7 +130,11 @@ def review_plumes(hull_df: pd.DataFrame, granule: Granule,
         hull_df = remove_duplicated_plumes(hull_df)
     out: List[PlumeReview] = []
     for dt in hull_df.datetime.unique():
-        aod = granule.layers[dt] if dt in granule.layers else granule.first_layer()
+        # strict shared resolution (io.granule.resolve_layer): a silent
+        # first_layer() fallback here showed curators the WRONG orbit's
+        # AOD for mispaired multi-orbit granules — the exact corruption
+        # curated.granule_to_channels refuses
+        aod = resolve_layer(granule, dt)
         dt_df = hull_df[hull_df.datetime == dt]
         for pid in dt_df.id.unique():
             plume_df = dt_df[dt_df.id == pid]

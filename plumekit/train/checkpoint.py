@@ -76,6 +76,21 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
         ckptr.save(path, jax.device_get(state))
 
 
+def prune_after(ckpt_dir: str, step: int) -> None:
+    """Delete checkpoints with step > ``step`` (early stopping restores the
+    dev peak and discards the degraded post-peak interval checkpoints so
+    ``latest_step`` — what predict serves and resume continues from — is
+    the peak itself, fully self-consistent)."""
+    import shutil
+
+    if not os.path.isdir(ckpt_dir):
+        return
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("step_") and not d.endswith(".tmp"):
+            if int(d.split("_")[1]) > step:
+                shutil.rmtree(os.path.join(ckpt_dir, d))
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
@@ -114,7 +129,10 @@ class WorkLog:
     def done(self, item: str) -> bool:
         try:
             with open(self.path) as f:
-                return item + "\n" in f.read()
+                # exact line membership: substring containment would report
+                # "plume.npz" done after "big_plume.npz" was logged and the
+                # suffix granule would be silently skipped forever
+                return item in f.read().splitlines()
         except OSError:
             return False
 

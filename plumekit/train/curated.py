@@ -76,19 +76,13 @@ def granule_to_channels(granule: Granule, ts: str,
 
     from plumekit.train.data import assemble_channels
 
-    if ts in granule.layers:
-        aod = granule.layers[ts]
-    elif len(granule.layers) == 1:
-        # single-layer granule: hull CSVs may carry a sentinel timestamp
-        # (the selector writes "layer0" when the detector ran layerless)
-        aod = granule.first_layer()
-    else:
-        # multi-orbit granule with an unknown timestamp: falling back to
-        # an arbitrary layer would pair the mask with the WRONG orbit's
-        # AOD — corrupted training data with no error
-        raise ValueError(
-            f"hull timestamp {ts!r} not among granule layers "
-            f"{sorted(granule.layers)}; cannot pick an orbit layer")
+    from plumekit.io.granule import resolve_layer
+
+    # shared strict resolution: the "layer0" sentinel (rg/basic ran on
+    # first_layer) and real orbit timestamps resolve; an unknown timestamp
+    # on a multi-orbit granule raises rather than silently pairing the
+    # mask with the wrong orbit's AOD
+    aod = resolve_layer(granule, ts)
     rows: np.ndarray = np.zeros(0, np.int32)
     cols: np.ndarray = np.zeros(0, np.int32)
     if fire_df is not None and len(fire_df):

@@ -184,6 +184,7 @@ def train(
     px_per_step = train_cfg.batch_size * train_cfg.tile_size**2
     best_dev, best_step, misses = -1.0, -1, 0
     best_state = None
+    last_log_step = start_step
     step_i = start_step - 1      # last completed step index (body keys on done)
     done = start_step
     sizes = chunk_schedule() if multi_fn is not None else None
@@ -208,10 +209,14 @@ def train(
             state, metrics = multi_fn(state, xs, ys, steps)
             done += k
         step_i = done - 1
-        if (step_i + 1) % train_cfg.log_every == 0:
+        if train_cfg.log_every and (step_i + 1) % train_cfg.log_every == 0:
             metrics = jax.device_get(metrics)
             dt = time.perf_counter() - t0
-            mpix_s = px_per_step * train_cfg.log_every / dt / 1e6
+            # steps actually run since the last log, not the nominal
+            # interval: a resume whose start_step is off the log lattice
+            # would otherwise overstate MPix/s on its first log line
+            mpix_s = px_per_step * (step_i + 1 - last_log_step) / dt / 1e6
+            last_log_step = step_i + 1
             logger.info(
                 "step %d loss=%.4f iou=%.3f %.2f MPix/s",
                 step_i + 1, metrics["loss"], metrics["iou"], mpix_s,
@@ -223,7 +228,8 @@ def train(
                                           "iou": metrics["iou"],
                                           "mpix_s": mpix_s})
             t0 = time.perf_counter()
-        if checkpoint and (step_i + 1) % train_cfg.checkpoint_every == 0:
+        if (checkpoint and train_cfg.checkpoint_every
+                and (step_i + 1) % train_cfg.checkpoint_every == 0):
             save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1)
 
         # dev-set early stopping (VERDICT round-1 weak #4: weak-label
@@ -247,20 +253,29 @@ def train(
                             misses)
                 break
 
-    if train_cfg.eval_every and best_state is not None:
+    restored_best = train_cfg.eval_every and best_state is not None
+    if restored_best:
         # the whole point of tracking the peak is SERVING the peak: the
         # returned metrics and the checkpoint downstream consumers restore
         # (latest_step = max step) must both be the best state, not the
         # degraded post-peak one
         state = best_state
         if checkpoint:
-            # overwrite: a regular checkpoint interval may have already
-            # saved the degraded post-peak state at this very step
-            save_checkpoint(train_cfg.checkpoint_dir, state, step_i + 1,
+            from plumekit.train.checkpoint import prune_after
+
+            # persist the peak AT ITS OWN STEP and drop the degraded
+            # post-peak interval checkpoints, so latest_step == best_step
+            # and the restored TrainState.step / optax schedule count
+            # agree with the directory name. (Saving the best state under
+            # the stop step — the previous scheme — broke the "resume ==
+            # uninterrupted run" invariant: a resume reseeded data/keys at
+            # the stop step while params/schedule sat at the peak step.)
+            prune_after(train_cfg.checkpoint_dir, best_step)
+            save_checkpoint(train_cfg.checkpoint_dir, state, best_step,
                             overwrite=True)
         logger.info("restored best dev state (step %d, IoU %.3f)",
                     best_step, best_dev)
-    if checkpoint and start_step < train_cfg.total_steps:
+    if checkpoint and not restored_best and start_step < train_cfg.total_steps:
         from plumekit.train.checkpoint import latest_step as _latest_step
 
         if (_latest_step(train_cfg.checkpoint_dir) or 0) < step_i + 1:

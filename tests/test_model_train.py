@@ -268,6 +268,69 @@ def test_short_train_always_saves_final_checkpoint(tmp_path):
     assert latest_step(ckpt) == 3
 
 
+def test_early_stop_checkpoint_is_self_consistent(tmp_path):
+    """Early stopping must leave latest_step == best_step with the restored
+    TrainState.step matching the directory name (the peak saved under the
+    stop step broke resume: data/keys reseeded at stop while params and the
+    optax schedule sat at the peak), and the degraded post-peak interval
+    checkpoints pruned."""
+    import os
+
+    from plumekit.config.train import DataConfig, TrainConfig, UNetConfig
+    from plumekit.train.checkpoint import latest_step, restore_checkpoint
+    from plumekit.train.loop import train
+    from plumekit.train.state import create_state
+
+    ckpt = str(tmp_path / "ckpt")
+    unet = UNetConfig(base_features=8, depth=2, compute_dtype="float32")
+    tcfg = TrainConfig(
+        total_steps=40, batch_size=2, tile_size=32, log_every=10,
+        eval_every=5, early_stop_patience=2, checkpoint_dir=ckpt,
+        checkpoint_every=10, learning_rate=0.0,  # frozen: best at step 5
+    )
+    train(unet_cfg=unet, train_cfg=tcfg,
+          data_cfg=DataConfig(granule_size=64, n_train_granules=1,
+                              n_eval_granules=1))
+    # frozen model: first eval (step 5) is best; stop at step 15; the
+    # step-10 interval checkpoint must be pruned
+    assert latest_step(ckpt) == 5
+    assert sorted(os.listdir(ckpt)) == ["step_00000005"]
+    target = create_state(jax.random.PRNGKey(0), unet, tcfg)
+    restored = restore_checkpoint(ckpt, jax.tree.map(jnp.zeros_like, target))
+    assert int(restored.step) == 5
+
+
+def test_worklog_no_substring_false_positive(tmp_path):
+    """'plume.npz' must not be reported done after 'big_plume.npz' was
+    logged (exact line membership, not substring containment)."""
+    from plumekit.train import WorkLog
+
+    log = WorkLog(str(tmp_path / "log.txt"))
+    log.mark("big_plume.npz")
+    assert log.done("big_plume.npz")
+    assert not log.done("plume.npz")
+
+
+def test_log_every_zero_disables_logging(tmp_path):
+    """log_every=0 / checkpoint_every=0 must disable those intervals, not
+    ZeroDivisionError on the first step (the eval_every=0 convention)."""
+    from plumekit.config.train import DataConfig, TrainConfig, UNetConfig
+    from plumekit.train.loop import train
+
+    hist = train(
+        unet_cfg=UNetConfig(base_features=8, depth=2,
+                            compute_dtype="float32"),
+        train_cfg=TrainConfig(total_steps=2, batch_size=2, tile_size=32,
+                              log_every=0, eval_every=0,
+                              checkpoint_dir=str(tmp_path / "c"),
+                              checkpoint_every=0),
+        data_cfg=DataConfig(granule_size=64, n_train_granules=1,
+                            n_eval_granules=1),
+        checkpoint=False,
+    )
+    assert hist["loss"] == []  # nothing logged, nothing crashed
+
+
 def test_steps_per_dispatch_matches_single_step():
     """K optimizer steps scanned in one program (steps_per_dispatch) must be
     equivalent to K single-step calls: same data order, same per-step
