@@ -454,6 +454,39 @@ def cmd_export_model(args) -> int:
     return 0
 
 
+def cmd_evaluate_model(args) -> int:
+    """Score a checkpoint (or saved predictions) against model-ready
+    labels: per-sample + pooled IoU/dice/precision/recall. The measurement
+    step the reference's empty ``src/models/`` skeleton promised — see
+    ``plumekit.train.evaluate``."""
+    import json
+
+    from plumekit.train.evaluate import (evaluate_model_data,
+                                         evaluate_predictions, write_report)
+
+    paths = PathsConfig(root=args.root)
+    data_dir = args.data or paths.resolve("model_data_dir")
+    out_csv = args.out or os.path.join(args.root, "processed",
+                                       "evaluation.csv")
+    if args.predictions:
+        df = evaluate_predictions(args.predictions, data_dir,
+                                  threshold=args.threshold)
+    else:
+        from plumekit.config.train import InferConfig
+        from plumekit.infer import make_sliding_infer
+        from plumekit.models import UNet
+
+        unet_cfg, variables = _restore_variables(args)
+        infer = make_sliding_infer(UNet(unet_cfg).apply,
+                                   InferConfig(tile_size=args.tile,
+                                               overlap=args.overlap),
+                                   channels=unet_cfg.in_channels)
+        df = evaluate_model_data(infer, variables, data_dir,
+                                 threshold=args.threshold)
+    print(json.dumps(write_report(df, out_csv)))
+    return 0
+
+
 def cmd_identify(args) -> int:
     """Single-granule identification (any detector)."""
     from plumekit.config.identify import (
@@ -682,6 +715,26 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--out", default=None,
                     help="artifact dir (default <root>/models/exported)")
     ex.set_defaults(fn=cmd_export_model)
+
+    ev = sub.add_parser("evaluate_model",
+                        help="score a checkpoint or saved predictions "
+                             "against model-ready labels (IoU/dice/"
+                             "precision/recall per sample + pooled)")
+    _add_root(ev)
+    ev.add_argument("--checkpoint", default=None)
+    ev.add_argument("--data", default=None,
+                    help="model-data dir (default <root>'s model_data_dir; "
+                         "written by prepare_model_data)")
+    ev.add_argument("--predictions", default=None,
+                    help="score existing predict_model NPZs from this dir "
+                         "instead of running inference")
+    ev.add_argument("--tile", type=int, default=288)
+    ev.add_argument("--overlap", type=int, default=32)
+    ev.add_argument("--threshold", type=float, default=0.5)
+    ev.add_argument("--out", default=None,
+                    help="report CSV (default <root>/processed/"
+                         "evaluation.csv)")
+    ev.set_defaults(fn=cmd_evaluate_model)
 
     i = sub.add_parser("identify", help="identify plumes in one granule")
     i.add_argument("granule")

@@ -1,0 +1,200 @@
+"""Standalone model evaluation: a checkpointed (or AOT-exported) U-Net
+scored against model-ready labels — per-granule and pooled IoU / dice /
+precision / recall, as its own framework surface.
+
+The reference promises the cookiecutter model pair (``src/models/`` is
+empty per SURVEY.md §0) and never ships a measurement step: quality
+judgements live in the curator's eyeballs (``plume_selector.py:137-233``).
+plumekit already *measures* — the train loop's dev-IoU early stopping and
+``experiments/quality_loop.py``'s GT-dev studies — but both are embedded;
+``evaluate_model`` productionises the measurement for real checkpoints
+against real curated/weak labels: the artifact a model card cites.
+
+Two modes share one scorer:
+
+* **inference mode** — run sliding-window inference on each sample's
+  stored channels (layer-correct by construction: the channels were
+  assembled from the hull row's own orbit layer);
+* **predictions mode** — score ``predict_model`` output NPZs that already
+  exist, matched to samples by granule basename.
+
+Counts are exact int64 pixel tallies, so "micro" aggregates are the
+metrics of the pooled confusion matrix, not averages of ratios.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from plumekit.utils import get_logger
+
+logger = get_logger(__name__)
+
+#: metric column order shared by rows and aggregates
+METRIC_KEYS = ("iou", "dice", "precision", "recall", "accuracy")
+
+
+def confusion_counts(pred_mask: np.ndarray,
+                     true_mask: np.ndarray) -> np.ndarray:
+    """Exact pixel confusion tallies ``[tp, fp, fn, tn]`` (int64)."""
+    if pred_mask.shape != true_mask.shape:
+        raise ValueError(
+            f"prediction shape {pred_mask.shape} != label shape "
+            f"{true_mask.shape}")
+    pred = np.asarray(pred_mask, dtype=bool)
+    true = np.asarray(true_mask, dtype=bool)
+    tp = np.count_nonzero(pred & true)
+    fp = np.count_nonzero(pred & ~true)
+    fn = np.count_nonzero(~pred & true)
+    tn = pred.size - tp - fp - fn
+    return np.array([tp, fp, fn, tn], dtype=np.int64)
+
+
+def metrics_from_counts(counts: np.ndarray) -> Dict[str, float]:
+    """IoU / dice / precision / recall / accuracy from ``[tp,fp,fn,tn]``.
+
+    Degenerate denominators follow the quality-loop conventions: an empty
+    union (no plume predicted, none labelled) is a perfect 1.0, an empty
+    positive set under a non-empty counterpart is 0.0."""
+    tp, fp, fn, tn = (float(c) for c in counts)
+
+    def ratio(num: float, den: float, empty: float = 1.0) -> float:
+        return num / den if den > 0 else empty
+
+    return {
+        "iou": ratio(tp, tp + fp + fn),
+        "dice": ratio(2 * tp, 2 * tp + fp + fn),
+        "precision": ratio(tp, tp + fp),
+        "recall": ratio(tp, tp + fn),
+        "accuracy": ratio(tp + tn, tp + fp + fn + tn, empty=0.0),
+    }
+
+
+def load_model_data(model_data_dir: str) -> List[Tuple[str, str]]:
+    """(sample name, npz path) for every model-ready sample, sorted.
+
+    Sample names are the npz stems ``{granule}__{ts}`` that
+    ``build_model_data`` writes (``train/curated.py``)."""
+    if not os.path.isdir(model_data_dir):
+        raise FileNotFoundError(
+            f"model-data directory {model_data_dir!r} does not exist; run "
+            "'plumekit prepare_model_data' (or point --data at it)")
+    out = [(fname[:-len(".npz")], os.path.join(model_data_dir, fname))
+           for fname in sorted(os.listdir(model_data_dir))
+           if fname.endswith(".npz")]
+    if not out:
+        raise FileNotFoundError(
+            f"no model-ready samples in {model_data_dir}")
+    return out
+
+
+def _summarise(rows: List[Dict]) -> List[Dict]:
+    """Micro (pooled-count) and macro (mean-of-samples) aggregate rows."""
+    pooled = np.sum([r["_counts"] for r in rows], axis=0)
+    micro = {"name": "micro", "plume_px": int(pooled[0] + pooled[2]),
+             **metrics_from_counts(pooled)}
+    macro = {"name": "macro",
+             "plume_px": int(np.mean([r["plume_px"] for r in rows])),
+             **{k: float(np.mean([r[k] for r in rows]))
+                for k in METRIC_KEYS}}
+    return [micro, macro]
+
+
+def _score_rows(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray]]
+                ) -> pd.DataFrame:
+    """Shared scorer: (name, pred bool, true bool) → per-sample rows +
+    micro/macro aggregates (aggregates carry name 'micro'/'macro')."""
+    rows: List[Dict] = []
+    for name, pred, true in pairs:
+        counts = confusion_counts(pred, true)
+        rows.append({"name": name,
+                     "plume_px": int(counts[0] + counts[2]),
+                     **metrics_from_counts(counts), "_counts": counts})
+    if not rows:
+        raise ValueError("nothing to evaluate: no (prediction, label) pairs")
+    summary = _summarise(rows)
+    for r in rows:
+        del r["_counts"]
+    return pd.DataFrame(rows + summary)
+
+
+def evaluate_model_data(
+    infer: Callable,
+    variables,
+    model_data_dir: str,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Run ``infer(variables, channels) -> (probs, _)`` over every
+    model-ready sample and score against its stored mask."""
+    samples = load_model_data(model_data_dir)
+
+    def pairs():
+        for name, path in samples:
+            with np.load(path) as data:
+                channels = data["channels"]
+                true = data["mask"].astype(bool)
+            probs = np.asarray(infer(variables, channels)[0])
+            yield name, probs > threshold, true
+
+    return _score_rows(pairs())
+
+
+def evaluate_predictions(
+    predictions_dir: str,
+    model_data_dir: str,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Score saved ``predict_model`` NPZs (``{granule}_pred.npz``) against
+    model-ready labels, matched on the granule basename.
+
+    A granule with several orbit-layer samples is scored against each (the
+    prediction ran on the decoded granule; every sample names which layer
+    its labels came from). Samples without a prediction are skipped with a
+    warning rather than failing the run — predict and prepare_model_data
+    legitimately cover different granule subsets mid-campaign."""
+    samples = load_model_data(model_data_dir)
+    preds: Dict[str, str] = {
+        fname[:-len("_pred.npz")]: os.path.join(predictions_dir, fname)
+        for fname in sorted(os.listdir(predictions_dir))
+        if fname.endswith("_pred.npz")
+    }
+    if not preds:
+        raise FileNotFoundError(
+            f"no *_pred.npz predictions in {predictions_dir}; run "
+            "'plumekit predict_model' first")
+
+    def pairs():
+        matched = 0
+        for name, path in samples:
+            base = name.split("__")[0]
+            if base not in preds:
+                logger.warning("no prediction for sample %s — skipped", name)
+                continue
+            matched += 1
+            with np.load(preds[base]) as pdata:
+                probs = pdata["probs"]
+            with np.load(path) as data:
+                true = data["mask"].astype(bool)
+            yield name, probs > threshold, true
+        if not matched:
+            raise ValueError(
+                f"none of the {len(samples)} samples in {model_data_dir} "
+                f"match a prediction in {predictions_dir}")
+
+    return _score_rows(pairs())
+
+
+def write_report(df: pd.DataFrame, out_csv: Optional[str]) -> Dict:
+    """Persist the per-sample table and return the micro summary dict
+    (the one-line machine-readable result the CLI prints)."""
+    if out_csv:
+        os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+        df.to_csv(out_csv, index=False)
+        logger.info("wrote %s (%d rows)", out_csv, len(df))
+    micro = df[df.name == "micro"].iloc[0]
+    return {"samples": int(len(df) - 2),
+            **{k: round(float(micro[k]), 4) for k in METRIC_KEYS}}
