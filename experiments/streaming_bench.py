@@ -116,6 +116,14 @@ for _ in stream_inference(paths[:1], infer, variables, unet_cfg.depth,
 for _ in stream_inference(paths[:3], infer, variables, unet_cfg.depth,
                           quantize=True, batch_granules=3):
     pass
+if len(paths) % 3:
+    # ragged tail: a run whose n is not a multiple of 3 ends dt_qb with a
+    # (n % 3)-granule group — a DISTINCT vmapped program that would
+    # otherwise pay its first compile inside the timed region
+    for _ in stream_inference(paths[: len(paths) % 3], infer, variables,
+                              unet_cfg.depth, quantize=True,
+                              batch_granules=3):
+        pass
 
 dt_serial = timed("serial decode->infer", serial)
 dt_p1 = timed("prefetch only (1 decode thread)", lambda: streamed(1))

@@ -108,6 +108,11 @@ def cmd_identify_viirs(args) -> int:
     masks_dir = paths.ensure("viirs_masks_dir")
     fire_csv = args.fires or os.path.join(paths.ensure("fires_dir"),
                                           "fires_viirs_aod.csv")
+    if not os.path.exists(fire_csv):
+        logger.error("no fire table at %s — run 'plumekit make_dataset "
+                     "--viirs-aod-pairs' or point --fires at a VIIRS "
+                     "fire CSV", fire_csv)
+        return 1
     fire_df = load_fire_csv(fire_csv)
 
     pairs = pair_granules(aod_dir, geo_dir)

@@ -165,7 +165,14 @@ def stream_inference(
             return infer_fn(variables, payload)
 
     if batch_granules <= 1 and not infer_is_batched:
-        run_one = jax.jit(run_one)
+        if quantize:
+            # jit only for the dequant fusion (uint16 must stay uint16
+            # across the transfer and decode on device); the plain path
+            # calls infer_fn as-is — it is typically already jitted, and
+            # the documented contract (any infer_fn(variables, image) ->
+            # (probs, mask)) includes host-side implementations that a
+            # trace would break
+            run_one = jax.jit(run_one)
         for name, payload, (h, w) in stream:
             probs, _mask = run_one(variables, payload)
             yield name, np.asarray(probs)[:h, :w]

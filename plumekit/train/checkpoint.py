@@ -11,20 +11,26 @@ from typing import Optional
 import jax
 
 
-def _recover_swap(ckpt_dir: str) -> None:
-    """Finish or roll back an overwrite swap interrupted by a crash.
+def _promote_interrupted_swap(ckpt_dir: str) -> None:
+    """READ-SAFE half of crash recovery: finish (or roll back) an overwrite
+    swap that died between its two renames.
 
     The swap sequence in :func:`save_checkpoint` is: save ``step_X.tmp`` →
     rename ``step_X`` → ``step_X.old.tmp`` → rename ``step_X.tmp`` →
-    ``step_X`` → delete the old. Each crash point leaves a distinct presence
-    pattern, so recovery is unambiguous:
+    ``step_X`` → delete the old. A crash between the renames leaves
+    ``tmp`` + ``old`` and no ``path`` — and ``tmp`` is known-complete
+    (the first rename only runs after the save), so promoting it is safe
+    from ANY process, reader or writer.
 
-    * ``tmp`` + ``path``, no ``old``: crash during (or before) the tmp save —
-      ``tmp`` may be partial; keep ``path``, drop ``tmp``.
-    * ``tmp`` + ``old``, no ``path``: crash between the renames — ``tmp`` is
-      complete (the rename only runs after the save); promote it.
-    * ``path`` + ``old``: crash before the final cleanup — drop ``old``.
-    """
+    What this deliberately does NOT do: touch a bare ``tmp`` whose ``path``
+    still exists. That pattern is ambiguous — a crashed partial save OR a
+    live writer's in-flight ``ckptr.save(tmp)`` happening right now — and a
+    reader (``predict_model``/``evaluate_model``/``latest_step`` on a live
+    training dir) deleting it would crash the trainer's swap and lose the
+    new checkpoint. Partial-tmp cleanup belongs to the single writer
+    (:func:`save_checkpoint`). The rename here races benignly with the
+    writer's own promotion: whoever runs first wins, the loser verifies
+    ``path`` exists."""
     import shutil
 
     if not os.path.isdir(ckpt_dir):
@@ -34,16 +40,32 @@ def _recover_swap(ckpt_dir: str) -> None:
             continue
         path = os.path.join(ckpt_dir, name[: -len(".old.tmp")])
         tmp, old = path + ".tmp", path + ".old.tmp"
-        if not os.path.exists(path) and os.path.exists(tmp):
-            os.rename(tmp, path)
-        elif not os.path.exists(path):
-            # defensive: the old copy is the only one left — roll back
-            os.rename(old, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        try:
+            if not os.path.exists(path) and os.path.exists(tmp):
+                os.rename(tmp, path)
+            elif not os.path.exists(path):
+                # defensive: the old copy is the only one left — roll back
+                os.rename(old, path)
+        except OSError:
+            if not os.path.exists(path):  # a concurrent recoverer won
+                raise
+        if os.path.exists(path) and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def _drop_partial_tmps(ckpt_dir: str) -> None:
+    """WRITER-ONLY half of crash recovery: remove leftover ``*.tmp``
+    entries (partial saves from a previous crashed run). Only the single
+    legitimate writer may call this — from a reader it would destroy a
+    live trainer's in-flight tmp save (the race the old combined
+    ``_recover_swap`` had)."""
+    import shutil
+
+    if not os.path.isdir(ckpt_dir):
+        return
     for name in os.listdir(ckpt_dir):
-        if name.endswith(".tmp"):  # remaining tmps are partial saves
-            shutil.rmtree(os.path.join(ckpt_dir, name))
+        if name.endswith(".tmp"):
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int,
@@ -56,7 +78,8 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
 
     import orbax.checkpoint as ocp
 
-    _recover_swap(ckpt_dir)
+    _promote_interrupted_swap(ckpt_dir)
+    _drop_partial_tmps(ckpt_dir)  # we are the writer: safe to clean
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     if os.path.exists(path):
         if not overwrite:
@@ -69,8 +92,13 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(tmp, jax.device_get(state))
         os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        try:
+            os.rename(tmp, path)
+        except FileNotFoundError:
+            if not os.path.exists(path):   # nobody promoted it for us
+                os.rename(old, path)       # roll back, keep the old state
+                raise
+        shutil.rmtree(old, ignore_errors=True)
         return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state))
@@ -94,7 +122,7 @@ def prune_after(ckpt_dir: str, step: int) -> None:
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    _recover_swap(ckpt_dir)
+    _promote_interrupted_swap(ckpt_dir)  # read-safe; never drops tmps
     steps = [
         int(d.split("_")[1])
         for d in os.listdir(ckpt_dir)

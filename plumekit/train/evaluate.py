@@ -170,7 +170,10 @@ def evaluate_predictions(
     def pairs():
         matched = 0
         for name, path in samples:
-            base = name.split("__")[0]
+            # rsplit: the LAST "__" separates granule basename from the
+            # orbit timestamp (build_model_data writes f"{base}__{ts}");
+            # a basename itself containing "__" must survive intact
+            base = name.rsplit("__", 1)[0]
             if base not in preds:
                 logger.warning("no prediction for sample %s — skipped", name)
                 continue

@@ -115,6 +115,25 @@ def test_evaluate_predictions_matching_and_skips(tmp_path, caplog):
     assert float(df[df.name == "micro"].iloc[0]["iou"]) == pytest.approx(1.0)
 
 
+def test_evaluate_predictions_basename_with_double_underscore(tmp_path):
+    """A granule basename itself containing '__' (e.g. scene__v2) must
+    match its prediction: only the LAST '__' separates the timestamp."""
+    data_dir = str(tmp_path / "model_data")
+    pred_dir = str(tmp_path / "preds")
+    os.makedirs(data_dir)
+    os.makedirs(pred_dir)
+    mask = np.zeros((16, 16), np.float32)
+    mask[2:6, 2:6] = 1.0
+    np.savez_compressed(os.path.join(data_dir, "scene__v2__layer0.npz"),
+                        channels=np.zeros((16, 16, 2), np.float32),
+                        mask=mask)
+    np.savez_compressed(os.path.join(pred_dir, "scene__v2_pred.npz"),
+                        probs=mask, mask=mask > 0)
+    df = evaluate_predictions(pred_dir, data_dir)
+    assert "scene__v2__layer0" in set(df.name)
+    assert float(df[df.name == "micro"].iloc[0]["iou"]) == pytest.approx(1.0)
+
+
 def test_evaluate_predictions_no_match_raises(tmp_path):
     data_dir = str(tmp_path / "model_data")
     pred_dir = str(tmp_path / "preds")

@@ -165,10 +165,17 @@ def test_checkpoint_interrupted_swap_recovers(tmp_path):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]))
 
-    # a partial tmp next to an intact checkpoint is swept, never promoted
+    # a partial tmp next to an intact checkpoint is AMBIGUOUS from a
+    # reader's seat: it may be a live writer's in-flight save, so
+    # latest_step (read-safe) must leave it alone — a reader that deleted
+    # it could destroy a concurrent trainer's overwrite swap mid-write.
+    # Only the writer (the next save_checkpoint) sweeps it.
     os.makedirs(path + ".tmp")
     assert latest_step(str(tmp_path)) == 3
+    assert os.path.exists(path + ".tmp")      # reader did not touch it
+    save_checkpoint(str(tmp_path), state, 9)  # writer cleans, then saves
     assert not os.path.exists(path + ".tmp")
+    assert latest_step(str(tmp_path)) == 9
 
 
 def test_worklog(tmp_path):
