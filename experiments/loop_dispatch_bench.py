@@ -20,6 +20,9 @@ p.add_argument("--steps", type=int, default=120)
 p.add_argument("--geometry", default="16x128",
                help="batchxtile (the quality-loop geometry by default)")
 p.add_argument("--ks", default="1,4,10")
+p.add_argument("--quantize", action="store_true",
+               help="also time each K with quantize_transfer (uint16/uint8 "
+                    "uploads, on-device dequant)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -43,10 +46,11 @@ data_cfg = DataConfig(granule_size=max(tile * 2, 256), n_train_granules=2,
                       n_eval_granules=1)
 
 
-def run(k: int) -> float:
+def run(k: int, quantize: bool = False) -> float:
     cfg = TrainConfig(total_steps=args.steps, batch_size=batch,
                       tile_size=tile, log_every=args.steps // 2,
-                      eval_every=0, steps_per_dispatch=k)
+                      eval_every=0, steps_per_dispatch=k,
+                      quantize_transfer=quantize)
     t0 = time.perf_counter()
     train(unet_cfg=UNetConfig(), train_cfg=cfg, data_cfg=data_cfg,
           checkpoint=False)
@@ -54,8 +58,11 @@ def run(k: int) -> float:
 
 
 px = batch * tile * tile * args.steps
+modes = [False] + ([True] if args.quantize else [])
 for k in (int(v) for v in args.ks.split(",")):
-    _ = run(k)                       # compile + warm (persistent cache)
-    dt = run(k)
-    print(f"K={k:3d}  {dt:6.2f} s wall  {px / dt / 1e6:6.1f} MPix/s "
-          f"(incl. data gen + final eval)")
+    for quantize in modes:
+        tag = "quant" if quantize else "fp32 "
+        _ = run(k, quantize)         # compile + warm (persistent cache)
+        dt = run(k, quantize)
+        print(f"K={k:3d} {tag}  {dt:6.2f} s wall  {px / dt / 1e6:6.1f} "
+              f"MPix/s (incl. data gen + final eval)")

@@ -323,6 +323,7 @@ def cmd_train_model(args) -> int:
             tile_size=args.tile, checkpoint_dir=os.path.join(
                 args.root, PathsConfig().model_dir, "checkpoints"),
             steps_per_dispatch=args.steps_per_dispatch,
+            quantize_transfer=args.quantize_transfer,
         ),
         data_cfg=DataConfig(granule_size=args.granule_size),
         mesh_cfg=mesh,
@@ -669,6 +670,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "program (amortises the fixed per-program dispatch "
                         "latency; chunks never cross a log/eval/checkpoint "
                         "boundary)")
+    t.add_argument("--quantize-transfer", action="store_true",
+                   help="upload tile batches as uint16/uint8 and decode on "
+                        "device (4 B/px instead of 12 over the transfer-"
+                        "bound host->device hop; granules quantized once "
+                        "up front)")
     t.set_defaults(fn=cmd_train_model)
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")

@@ -63,6 +63,15 @@ class TrainConfig:
     #: chunks never cross a log/eval/checkpoint boundary, and per-step
     #: keys/data order are bit-exact vs the single-step path
     steps_per_dispatch: int = 1
+    #: upload tile batches as uint16 channels + uint8 masks and decode on
+    #: device inside the train step (4 B/px instead of 12). The production
+    #: loop is host→device transfer-bound on the tunneled platform
+    #: (BASELINE.md round 3: ~3.2 MB/batch over a ~40 MB/s link exceeds
+    #: the step itself); granules are quantized ONCE up front so nothing
+    #: is added to the per-batch hot path. Affine uint16 error ≤
+    #: range/131070 (~2e-5 on physical AOD) — far below bf16 compute
+    #: precision; masks encode exactly
+    quantize_transfer: bool = False
 
 
 @dataclass(frozen=True)

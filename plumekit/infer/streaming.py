@@ -61,29 +61,9 @@ def granule_channel_stream(
         yield decode_granule_channels(path, depth, fire_locator)
 
 
-def quantize_uint16(channels: np.ndarray):
-    """Host-side payload compression for the host→HBM hop: per-channel
-    affine uint16 encoding. The relay's ``device_put`` ceiling was measured
-    at 16-20 MB/s (BASELINE.md round 2), making transfer the irreducible
-    cost of config 5 — halving the bytes (4 → 2 per value) halves it.
-    Model inputs are physical AOD ∈ [0, ~2] and fire density ∈ [0, 1]
-    (``assemble_channels``), so the 1/65535-of-range step (~3e-5) is far
-    below the bf16 compute precision downstream.
-
-    Returns ``(q (H, W, C) uint16, lo (C,), scale (C,) float32)`` with
-    ``value ≈ lo + q * scale``."""
-    c = channels.shape[-1]
-    flat = channels.reshape(-1, c)
-    lo = flat.min(axis=0).astype(np.float32)
-    hi = flat.max(axis=0).astype(np.float32)
-    scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / 65535.0
-    q = np.round((flat - lo) / scale).astype(np.uint16).reshape(
-        channels.shape)
-    return q, lo, scale
-
-
-def _dequantize(q, lo, scale):
-    return q.astype(jnp.float32) * scale + lo
+# shared affine codecs (also used by the quantized training-transfer path)
+from plumekit.ops.quant import dequantize as _dequantize  # noqa: F401
+from plumekit.ops.quant import quantize_uint16  # noqa: F401
 
 
 def stream_inference(

@@ -134,6 +134,48 @@ def make_weak_label_dataset(
     return samples
 
 
+def _prep_samples(samples: List[GranuleSample], tile: int):
+    """Pad sub-tile granules up to one tile (channels replicate, masks
+    zero-fill) and precompute the plume-pixel index once per sample
+    (np.nonzero over a 1200-square mask per draw was the hot-path cost of
+    plume-biased sampling)."""
+    prepped = []
+    for s in samples:
+        h, w = s.channels.shape[:2]
+        if h < tile or w < tile:
+            ph, pw = max(0, tile - h), max(0, tile - w)
+            padded = GranuleSample(
+                channels=np.pad(s.channels, ((0, ph), (0, pw), (0, 0)),
+                                mode="edge"),
+                mask=np.pad(s.mask, ((0, ph), (0, pw))),
+            )
+            if hasattr(s, "lo"):   # quantized samples carry (lo, scale)
+                padded.lo, padded.scale = s.lo, s.scale
+            s = padded
+        prepped.append((s, np.nonzero(s.mask)))
+    return prepped
+
+
+def _draw_tile(prepped, tile: int, rng: np.random.Generator):
+    """One plume-biased tile draw: (sample, cy, cx). Half the tiles are
+    centred near mask pixels so the loss sees positives (plumes are sparse
+    in full granules). THE single rng-draw sequence: the float and
+    quantized batch iterators both call this, so the same seed yields the
+    same tile schedule in either mode (parity-testable)."""
+    s, (pys, pxs) = prepped[rng.integers(len(prepped))]
+    h, w = s.channels.shape[:2]  # curated granules may vary in size
+    if rng.random() < 0.5 and len(pys):
+        k = rng.integers(len(pys))
+        cy = int(np.clip(pys[k] - tile // 2 + rng.integers(-8, 9),
+                         0, h - tile))
+        cx = int(np.clip(pxs[k] - tile // 2 + rng.integers(-8, 9),
+                         0, w - tile))
+    else:
+        cy = int(rng.integers(0, h - tile + 1))
+        cx = int(rng.integers(0, w - tile + 1))
+    return s, cy, cx
+
+
 def tile_batches(
     samples: List[GranuleSample],
     tile: int,
@@ -142,46 +184,79 @@ def tile_batches(
     steps: Optional[int] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Infinite (or ``steps``-bounded) iterator of random tile batches:
-    (B, tile, tile, C) channels and (B, tile, tile, 1) masks. Sampling is
-    plume-biased: half the tiles are centred near mask pixels so the loss
-    sees positives (plumes are sparse in full granules)."""
+    (B, tile, tile, C) channels and (B, tile, tile, 1) masks."""
     if not samples:
         raise ValueError(
             "tile_batches got an empty sample list — for curated training "
             "run 'plumekit prepare_model_data' first")
-    # sub-tile granules are edge-padded up to one tile (channels replicate,
-    # masks zero-fill); the plume-pixel index is precomputed once per
-    # sample (np.nonzero over a 1200-square mask per draw was the hot-path
-    # cost of plume-biased sampling)
-    prepped = []
-    for s in samples:
-        h, w = s.channels.shape[:2]
-        if h < tile or w < tile:
-            ph, pw = max(0, tile - h), max(0, tile - w)
-            s = GranuleSample(
-                channels=np.pad(s.channels, ((0, ph), (0, pw), (0, 0)),
-                                mode="edge"),
-                mask=np.pad(s.mask, ((0, ph), (0, pw))),
-            )
-        prepped.append((s, np.nonzero(s.mask)))
+    prepped = _prep_samples(samples, tile)
     count = 0
     while steps is None or count < steps:
         xs = np.empty((batch_size, tile, tile,
                        prepped[0][0].channels.shape[-1]), np.float32)
         ys = np.empty((batch_size, tile, tile, 1), np.float32)
         for b in range(batch_size):
-            s, (pys, pxs) = prepped[rng.integers(len(prepped))]
-            h, w = s.channels.shape[:2]  # curated granules may vary in size
-            if rng.random() < 0.5 and len(pys):
-                k = rng.integers(len(pys))
-                cy = int(np.clip(pys[k] - tile // 2 + rng.integers(-8, 9),
-                                 0, h - tile))
-                cx = int(np.clip(pxs[k] - tile // 2 + rng.integers(-8, 9),
-                                 0, w - tile))
-            else:
-                cy = int(rng.integers(0, h - tile + 1))
-                cx = int(rng.integers(0, w - tile + 1))
+            s, cy, cx = _draw_tile(prepped, tile, rng)
             xs[b] = s.channels[cy : cy + tile, cx : cx + tile]
             ys[b, ..., 0] = s.mask[cy : cy + tile, cx : cx + tile]
         yield xs, ys
+        count += 1
+
+
+def quantize_samples(samples: List[GranuleSample]) -> List[GranuleSample]:
+    """Per-granule affine uint16 channel encoding + uint8 masks, packaged
+    as GranuleSamples whose ``channels`` carry ``(lo, scale)`` sidecars.
+
+    This is the ONCE-per-granule half of the quantized training-transfer
+    path (``TrainConfig.quantize_transfer``): tiles are then sliced,
+    stacked, and uploaded in uint16/uint8 — 4 bytes/px instead of 12 over
+    the measured transfer-bound host→device hop — and decoded on device
+    inside the train step (``make_train_step(dequant=True)``). Doing the
+    quantize here instead of per batch keeps it OFF the hot path, the
+    round-3 config-5 lesson (host-side per-payload quantize cost cancelled
+    the transfer saving on the 1-core host, BASELINE.md)."""
+    from plumekit.ops.quant import quantize_uint16
+
+    out = []
+    for s in samples:
+        q, lo, scale = quantize_uint16(s.channels)
+        qs = GranuleSample(channels=q,
+                           mask=(s.mask > 0.5).astype(np.uint8))
+        qs.lo, qs.scale = lo, scale
+        out.append(qs)
+    return out
+
+
+def tile_batches_quant(
+    samples: List[GranuleSample],
+    tile: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    steps: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Quantized twin of :func:`tile_batches` over
+    :func:`quantize_samples` output: yields ``(q_xs (B, t, t, C) uint16,
+    lo (B, C), scale (B, C), y8 (B, t, t, 1) uint8)``. Identical rng-draw
+    sequence as the float iterator (shared :func:`_draw_tile`), so the
+    same seed samples the same tiles in either mode."""
+    if not samples:
+        raise ValueError("tile_batches_quant got an empty sample list")
+    if not hasattr(samples[0], "lo"):
+        raise ValueError(
+            "samples lack (lo, scale) sidecars; pass quantize_samples(...) "
+            "output, not raw GranuleSamples")
+    prepped = _prep_samples(samples, tile)
+    count = 0
+    c = prepped[0][0].channels.shape[-1]
+    while steps is None or count < steps:
+        q_xs = np.empty((batch_size, tile, tile, c), np.uint16)
+        lo = np.empty((batch_size, c), np.float32)
+        scale = np.empty((batch_size, c), np.float32)
+        y8 = np.empty((batch_size, tile, tile, 1), np.uint8)
+        for b in range(batch_size):
+            s, cy, cx = _draw_tile(prepped, tile, rng)
+            q_xs[b] = s.channels[cy : cy + tile, cx : cx + tile]
+            y8[b, ..., 0] = s.mask[cy : cy + tile, cx : cx + tile]
+            lo[b], scale[b] = s.lo, s.scale
+        yield q_xs, lo, scale, y8
         count += 1

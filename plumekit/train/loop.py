@@ -62,8 +62,10 @@ def train(
             start_step = last
             logger.info("resumed from checkpoint step %d", last)
 
+    quantize = train_cfg.quantize_transfer
     step_fn = make_train_step(train_cfg.dice_weight, train_cfg.augment, mesh,
-                              label_smooth=train_cfg.label_smooth)
+                              label_smooth=train_cfg.label_smooth,
+                              dequant=quantize)
     eval_fn = make_eval_step(train_cfg.dice_weight)
     k_max = max(1, train_cfg.steps_per_dispatch)
     multi_fn = None
@@ -72,7 +74,8 @@ def train(
 
         multi_fn = make_multi_train_step(
             train_cfg.dice_weight, train_cfg.augment, mesh,
-            label_smooth=train_cfg.label_smooth, base_rng=base_rng)
+            label_smooth=train_cfg.label_smooth, base_rng=base_rng,
+            dequant=quantize)
 
     if datasets is not None:
         # explicit (train_set, eval_set) GranuleSample lists — the
@@ -137,8 +140,20 @@ def train(
         batch_sharding = NamedSharding(mesh, spec)
         stage_put = lambda xy: tuple(           # noqa: E731
             jax.device_put(a, batch_sharding) for a in xy)
-    sample_stream = tile_batches(train_set, train_cfg.tile_size,
-                                 train_cfg.batch_size, np_rng)
+    if quantize:
+        # quantized-transfer path: granules encoded ONCE (uint16 channels,
+        # uint8 masks — nothing added to the per-batch hot path), tiles
+        # sliced/uploaded quantized, decoded on device inside the step.
+        # Same _draw_tile rng sequence as the float iterator, so the tile
+        # schedule is identical for a given seed.
+        from plumekit.train.data import quantize_samples, tile_batches_quant
+
+        sample_stream = tile_batches_quant(
+            quantize_samples(train_set), train_cfg.tile_size,
+            train_cfg.batch_size, np_rng)
+    else:
+        sample_stream = tile_batches(train_set, train_cfg.tile_size,
+                                     train_cfg.batch_size, np_rng)
     if k_max > 1:
         # chunking lives INSIDE the prefetched stream: the stager thread
         # assembles and uploads whole (K, B, ...) chunks while the previous
@@ -148,9 +163,9 @@ def train(
         # 16x128² went 15.6 -> 23.7 s wall when chunked on the hot path).
         def chunk_stream():
             for c in chunk_schedule():
-                pairs = [next(sample_stream) for _ in range(c)]
-                yield (np.stack([p[0] for p in pairs]),
-                       np.stack([p[1] for p in pairs]))
+                groups = [next(sample_stream) for _ in range(c)]
+                yield tuple(np.stack([g[i] for g in groups])
+                            for i in range(len(groups[0])))
 
         batches = device_prefetch(chunk_stream(), buffer_size=2,
                                   device_put=stage_put)
@@ -190,13 +205,16 @@ def train(
     sizes = chunk_schedule() if multi_fn is not None else None
     while done < train_cfg.total_steps:
         if multi_fn is None:
-            xs, ys = next(batches)   # already batch-sharded on a mesh (above)
+            batch = next(batches)    # already batch-sharded on a mesh (above)
             # counter-based step keys (not a sequential split chain): a
             # resumed run's step N then uses exactly the key the
             # uninterrupted run used at step N, like the
             # (seed, start_step)-reseeded data stream
             step_rng = jax.random.fold_in(base_rng, done)
-            state, metrics = step_fn(state, xs, ys, step_rng)
+            if quantize:             # (q, lo, scale, y8) as ONE pytree arg
+                state, metrics = step_fn(state, batch, step_rng)
+            else:
+                state, metrics = step_fn(state, *batch, step_rng)
             done += 1
         else:
             # K steps scanned inside ONE dispatched program: the fixed
@@ -204,9 +222,12 @@ def train(
             # per-step keys fold the SAME global indices inside the scan,
             # so data order/keys match K single-step calls exactly
             k = next(sizes)
-            xs, ys = next(batches)   # pre-stacked (k, B, ...) chunk
+            batch = next(batches)    # pre-stacked (k, B, ...) chunk
             steps = jnp.arange(done, done + k)
-            state, metrics = multi_fn(state, xs, ys, steps)
+            if quantize:
+                state, metrics = multi_fn(state, batch, steps)
+            else:
+                state, metrics = multi_fn(state, *batch, steps)
             done += k
         step_i = done - 1
         if train_cfg.log_every and (step_i + 1) % train_cfg.log_every == 0:

@@ -57,22 +57,48 @@ def _make_step_core(dice_weight: float, augment: bool, label_smooth: float):
     return step
 
 
+def _dequant_batch(batch):
+    """Decode a quantized tile batch INSIDE the jitted program: ``(q
+    uint16, lo (..., C), scale (..., C), y8 uint8) -> (xs, ys) float32``.
+    The ellipsis covers the optional leading steps axis of the scanned
+    multi-step variant (lo/scale broadcast over the two spatial dims)."""
+    import jax.numpy as jnp
+
+    q, lo, scale, y8 = batch
+    xs = (q.astype(jnp.float32) * scale[..., None, None, :]
+          + lo[..., None, None, :])
+    return xs, y8.astype(jnp.float32)
+
+
 def make_train_step(dice_weight: float = 0.5, augment: bool = True,
-                    mesh: Optional[Mesh] = None, label_smooth: float = 0.0):
+                    mesh: Optional[Mesh] = None, label_smooth: float = 0.0,
+                    dequant: bool = False):
     """Returns ``step(state, xs, ys, rng) -> (state, metrics)``.
 
     With a mesh, inputs are expected batch-sharded over ``data`` (see
     :func:`shard_batch`); without one, it is a plain single-device jit.
+    With ``dequant``, the signature becomes ``step(state, (q, lo, scale,
+    y8), rng)`` — the quantized-transfer path (``TrainConfig.
+    quantize_transfer``): tiles cross the host→device hop as uint16/uint8
+    (4 B/px instead of 12 on the measured transfer-bound platform) and are
+    decoded as the program's first op, before augmentation.
     """
-    step = _make_step_core(dice_weight, augment, label_smooth)
+    core = _make_step_core(dice_weight, augment, label_smooth)
+    if dequant:
+        def step(state, batch, rng):
+            xs, ys = _dequant_batch(batch)
+            return core(state, xs, ys, rng)
+    else:
+        step = core
 
     if mesh is not None:
-        data_sharding = NamedSharding(mesh, P("data"))
+        ds = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
+        batch_sh = (ds, ds, ds, ds) if dequant else ds
         return jax.jit(
             step,
-            in_shardings=(replicated, data_sharding, data_sharding,
-                          replicated),
+            in_shardings=((replicated, batch_sh, replicated) if dequant
+                          else (replicated, ds, ds, replicated)),
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
         )
@@ -81,7 +107,8 @@ def make_train_step(dice_weight: float = 0.5, augment: bool = True,
 
 def make_multi_train_step(dice_weight: float = 0.5, augment: bool = True,
                           mesh: Optional[Mesh] = None,
-                          label_smooth: float = 0.0, base_rng=None):
+                          label_smooth: float = 0.0, base_rng=None,
+                          dequant: bool = False):
     """Returns ``multi(state, xs (K, B, ...), ys (K, B, ...), steps (K,))
     -> (state, last_metrics)`` — K optimizer steps scanned inside ONE
     dispatched program.
@@ -100,22 +127,37 @@ def make_multi_train_step(dice_weight: float = 0.5, augment: bool = True,
     if base_rng is None:
         base_rng = jax.random.PRNGKey(0)
 
-    def multi(state: TrainState, xs, ys, steps):
-        def body(st, args):
-            x, y, s = args
-            st, m = core(st, x, y, jax.random.fold_in(base_rng, s))
-            return st, m
+    if dequant:
+        # signature: multi(state, (q (K,B,...), lo (K,B,C), scale, y8),
+        # steps (K,)) — decode per scanned step so only the current step's
+        # tiles are live in fp32
+        def multi(state: TrainState, batch, steps):
+            def body(st, args):
+                b, s = args
+                x, y = _dequant_batch(b)
+                st, m = core(st, x, y, jax.random.fold_in(base_rng, s))
+                return st, m
 
-        state, ms = jax.lax.scan(body, state, (xs, ys, steps))
-        return state, jax.tree_util.tree_map(lambda a: a[-1], ms)
+            state, ms = jax.lax.scan(body, state, (batch, steps))
+            return state, jax.tree_util.tree_map(lambda a: a[-1], ms)
+    else:
+        def multi(state: TrainState, xs, ys, steps):
+            def body(st, args):
+                x, y, s = args
+                st, m = core(st, x, y, jax.random.fold_in(base_rng, s))
+                return st, m
+
+            state, ms = jax.lax.scan(body, state, (xs, ys, steps))
+            return state, jax.tree_util.tree_map(lambda a: a[-1], ms)
 
     if mesh is not None:
-        data_sharding = NamedSharding(mesh, P(None, "data"))
+        ds = NamedSharding(mesh, P(None, "data"))
         replicated = NamedSharding(mesh, P())
+        in_sh = ((replicated, (ds, ds, ds, ds), replicated) if dequant
+                 else (replicated, ds, ds, replicated))
         return jax.jit(
             multi,
-            in_shardings=(replicated, data_sharding, data_sharding,
-                          replicated),
+            in_shardings=in_sh,
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
         )
