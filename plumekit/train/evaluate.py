@@ -151,11 +151,20 @@ def evaluate_predictions(
     """Score saved ``predict_model`` NPZs (``{granule}_pred.npz``) against
     model-ready labels, matched on the granule basename.
 
-    A granule with several orbit-layer samples is scored against each (the
-    prediction ran on the decoded granule; every sample names which layer
-    its labels came from). Samples without a prediction are skipped with a
-    warning rather than failing the run — predict and prepare_model_data
+    Predictions are per GRANULE and ``predict_model`` infers on the
+    granule's first orbit layer (``infer/streaming.py``), so each granule
+    scores against exactly ONE sample: its ``layer0``-sentinel sample, or
+    its only sample. A multi-orbit granule whose samples all carry real
+    timestamps is skipped with a warning instead of guessed at — scoring
+    another orbit's labels against a first-layer prediction is the exact
+    wrong-orbit corruption the strict layer rule exists to refuse
+    (``io/granule.resolve_layer``), and double-scoring one prediction
+    against several layers would double-count its pixels in the pooled
+    micro row. Samples without a prediction are skipped with a warning
+    rather than failing the run — predict and prepare_model_data
     legitimately cover different granule subsets mid-campaign."""
+    from plumekit.io.granule import LAYER0_SENTINEL
+
     samples = load_model_data(model_data_dir)
     preds: Dict[str, str] = {
         fname[:-len("_pred.npz")]: os.path.join(predictions_dir, fname)
@@ -167,22 +176,47 @@ def evaluate_predictions(
             f"no *_pred.npz predictions in {predictions_dir}; run "
             "'plumekit predict_model' first")
 
+    # group layer samples per granule basename: the LAST "__" separates
+    # basename from the orbit timestamp (build_model_data writes
+    # f"{base}__{ts}"); a basename itself containing "__" survives intact
+    by_base: Dict[str, List[Tuple[str, str, str]]] = {}
+    for name, path in samples:
+        base, _, ts = name.rpartition("__")
+        if not base:        # no "__" at all: the whole name is the base
+            base, ts = ts, LAYER0_SENTINEL
+        by_base.setdefault(base, []).append((name, ts, path))
+
     def pairs():
         matched = 0
-        for name, path in samples:
-            # rsplit: the LAST "__" separates granule basename from the
-            # orbit timestamp (build_model_data writes f"{base}__{ts}");
-            # a basename itself containing "__" must survive intact
-            base = name.rsplit("__", 1)[0]
+        for base, group in by_base.items():
             if base not in preds:
-                logger.warning("no prediction for sample %s — skipped", name)
+                for name, _, _ in group:
+                    logger.warning("no prediction for sample %s — skipped",
+                                   name)
                 continue
-            matched += 1
-            with np.load(preds[base]) as pdata:
-                probs = pdata["probs"]
-            with np.load(path) as data:
-                true = data["mask"].astype(bool)
-            yield name, probs > threshold, true
+            chosen = [g for g in group if g[1] == LAYER0_SENTINEL]
+            if not chosen and len(group) == 1:
+                chosen = group          # single-layer granule, real ts
+            if not chosen:
+                logger.warning(
+                    "%s has %d orbit-layer samples (%s) but predictions "
+                    "are per granule (first layer) — cannot pick a layer; "
+                    "skipped. Use inference mode (no --predictions) to "
+                    "score every layer sample.", base, len(group),
+                    ", ".join(g[1] for g in group))
+                continue
+            for name, _, path in chosen[:1]:
+                if len(group) > 1:
+                    logger.warning(
+                        "%s: scoring only %s against the granule "
+                        "prediction; %d other layer sample(s) skipped",
+                        base, name, len(group) - 1)
+                matched += 1
+                with np.load(preds[base]) as pdata:
+                    probs = pdata["probs"]
+                with np.load(path) as data:
+                    true = data["mask"].astype(bool)
+                yield name, probs > threshold, true
         if not matched:
             raise ValueError(
                 f"none of the {len(samples)} samples in {model_data_dir} "

@@ -148,8 +148,11 @@ def train(
         # schedule is identical for a given seed.
         from plumekit.train.data import quantize_samples, tile_batches_quant
 
+        # rebind: the float32 copy (~12 B/px across the whole campaign)
+        # must not stay referenced for the run alongside the uint16 one
+        train_set = quantize_samples(train_set)
         sample_stream = tile_batches_quant(
-            quantize_samples(train_set), train_cfg.tile_size,
+            train_set, train_cfg.tile_size,
             train_cfg.batch_size, np_rng)
     else:
         sample_stream = tile_batches(train_set, train_cfg.tile_size,

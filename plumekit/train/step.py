@@ -61,12 +61,15 @@ def _dequant_batch(batch):
     """Decode a quantized tile batch INSIDE the jitted program: ``(q
     uint16, lo (..., C), scale (..., C), y8 uint8) -> (xs, ys) float32``.
     The ellipsis covers the optional leading steps axis of the scanned
-    multi-step variant (lo/scale broadcast over the two spatial dims)."""
+    multi-step variant (lo/scale broadcast over the two spatial dims).
+    Uses the SHARED codec (``ops/quant.dequantize``) so the train decode
+    can never drift from the streaming-inference decode."""
     import jax.numpy as jnp
 
+    from plumekit.ops.quant import dequantize
+
     q, lo, scale, y8 = batch
-    xs = (q.astype(jnp.float32) * scale[..., None, None, :]
-          + lo[..., None, None, :])
+    xs = dequantize(q, lo[..., None, None, :], scale[..., None, None, :])
     return xs, y8.astype(jnp.float32)
 
 

@@ -93,17 +93,23 @@ def test_evaluate_model_data_micro_equals_pooled_counts(tmp_path):
 
 
 def test_evaluate_predictions_matching_and_skips(tmp_path, caplog):
-    """Predictions match samples on the granule basename (multi-layer
-    samples each score against the one granule prediction); samples
-    without predictions are skipped with a warning, not a crash."""
+    """Predictions are per granule (first layer), so each base scores
+    against exactly ONE sample — the layer0-sentinel one when several
+    exist (scoring another orbit's labels against a first-layer
+    prediction would be the wrong-orbit corruption resolve_layer refuses,
+    and double-scoring would double-count pixels in the micro pool);
+    samples without predictions are skipped with a warning, not a crash."""
     data_dir = str(tmp_path / "model_data")
     pred_dir = str(tmp_path / "preds")
     os.makedirs(pred_dir)
     masks = _write_samples(data_dir)
-    # a second layer-sample for g0: same granule prediction serves both
+    # a second orbit-layer sample for g0 with an INVERTED mask: if it were
+    # (wrongly) scored against the first-layer prediction the micro IoU
+    # could not be 1.0
     with np.load(os.path.join(data_dir, "g0__layer0.npz")) as z:
         np.savez_compressed(os.path.join(data_dir, "g0__2016123.1030.npz"),
-                            channels=z["channels"], mask=z["mask"])
+                            channels=z["channels"],
+                            mask=1.0 - z["mask"])
     # perfect prediction for g0 only; g1 samples must be skipped
     probs = masks["g0__layer0"].astype(np.float32)
     np.savez_compressed(os.path.join(pred_dir, "g0_pred.npz"),
@@ -111,8 +117,29 @@ def test_evaluate_predictions_matching_and_skips(tmp_path, caplog):
 
     df = evaluate_predictions(pred_dir, data_dir)
     names = set(df.name)
-    assert {"g0__layer0", "g0__2016123.1030", "micro", "macro"} == names
+    assert {"g0__layer0", "micro", "macro"} == names
     assert float(df[df.name == "micro"].iloc[0]["iou"]) == pytest.approx(1.0)
+
+
+def test_evaluate_predictions_ambiguous_multiorbit_skipped(tmp_path):
+    """A multi-orbit granule whose samples all carry REAL timestamps (no
+    layer0 sentinel) cannot be paired with a per-granule prediction — it
+    must be skipped with a warning, never guessed at."""
+    data_dir = str(tmp_path / "model_data")
+    pred_dir = str(tmp_path / "preds")
+    os.makedirs(data_dir)
+    os.makedirs(pred_dir)
+    mask = np.zeros((16, 16), np.float32)
+    mask[2:6, 2:6] = 1.0
+    for ts in ("2016123.1030", "2016123.1210"):
+        np.savez_compressed(os.path.join(data_dir, f"gm__{ts}.npz"),
+                            channels=np.zeros((16, 16, 2), np.float32),
+                            mask=mask)
+    np.savez_compressed(os.path.join(pred_dir, "gm_pred.npz"),
+                        probs=mask, mask=mask > 0)
+    # the single granule is ambiguous → nothing scoreable → ValueError
+    with pytest.raises(ValueError, match="match"):
+        evaluate_predictions(pred_dir, data_dir)
 
 
 def test_evaluate_predictions_basename_with_double_underscore(tmp_path):
