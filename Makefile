@@ -1,6 +1,6 @@
 .PHONY: requirements data features train predict select model_data \
-	viirs clean lint test bench tpu_test help create_environment \
-	test_environment
+	viirs evaluate report clean lint test bench tpu_test help \
+	create_environment test_environment
 
 PYTHON_INTERPRETER = python
 ROOT ?= data
@@ -37,6 +37,15 @@ model_data:
 ## Reproject VIIRS SDR swaths onto UTM grids
 viirs:
 	$(PYTHON_INTERPRETER) -m plumekit.cli resample_viirs --root $(ROOT) --quicklooks
+
+## Score the trained model against model-ready labels
+evaluate:
+	$(PYTHON_INTERPRETER) -m plumekit.cli evaluate_model --root $(ROOT)
+
+## Campaign summary markdown + figures (the reference's promised
+## reports/ content, reference README.md:50-52)
+report:
+	$(PYTHON_INTERPRETER) -m plumekit.cli report --root $(ROOT)
 
 ## Delete compiled python files (reference Makefile:36-38)
 clean:

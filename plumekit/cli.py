@@ -493,6 +493,15 @@ def cmd_evaluate_model(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Campaign summary under ``<root>/reports/`` — the content of the
+    reference's promised-but-empty reports tree (``README.md:50-52``)."""
+    from plumekit.viz.report import build_report
+
+    print(build_report(args.root, out_dir=args.out))
+    return 0
+
+
 def cmd_identify(args) -> int:
     """Single-granule identification (any detector)."""
     from plumekit.config.identify import (
@@ -760,6 +769,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--decisions", default=None,
                    help="CSV with id,datetime,keep columns")
     s.set_defaults(fn=cmd_select)
+
+    rp = sub.add_parser("report",
+                        help="campaign summary markdown + figures under "
+                             "<root>/reports/")
+    _add_root(rp)
+    rp.add_argument("--out", default=None,
+                    help="report dir (default <root>/reports)")
+    rp.set_defaults(fn=cmd_report)
     return p
 
 
