@@ -230,41 +230,88 @@ def cmd_build_features(args) -> int:
             fname, default=fire_df.date_time.iloc[0])
 
     n_done = 0
+
+    def write_rg(fname, granule, aod_df, hull_df, out):
+        nonlocal n_done
+        base = os.path.splitext(fname)[0]
+        aod_df.to_csv(os.path.join(aod_dir, base + "_aod.csv"),
+                      index=False)
+        if not args.no_masks:
+            # per-plume device masks keyed by hull id: the sharper
+            # curated-training artifact (prepare_model_data prefers
+            # these over convex-hull fills when present)
+            masks = rg_mod.plume_masks(out)
+            if masks:
+                np.savez_compressed(
+                    os.path.join(paths.ensure("plume_mask_dir"),
+                                 base + "_masks.npz"),
+                    **{str(pid): m for pid, m in masks.items()})
+        if args.plot and len(aod_df):
+            from plumekit.viz import plot_identify_bboxes
+
+            plot_identify_bboxes(
+                granule.first_layer(), aod_df,
+                os.path.join(paths.ensure("plot_dir"),
+                             base + "_plot.png"),
+            )
+        hull_df.to_csv(os.path.join(hull_dir, base + "_extent.csv"),
+                       index=False)
+        log.mark(fname)
+        n_done += 1
+        logger.info("%s: %d plumes", base,
+                    hull_df.id.nunique() if len(hull_df) else 0)
+
     # decode granule i+1 while granule i identifies (config-5 overlap
     # applied to the reference's flagship batch loop: the identify sweep
     # blocks on the device with the GIL released, so even one decode
-    # worker hides npz-inflate/HDF time behind it); depth 2 bounds staged
+    # worker hides npz-inflate/HDF time behind it); depth bounds staged
     # granules in host RAM
     workers = max(1, min(4, (os.cpu_count() or 1) - 1))
-    for fname, granule, date in decode_pool(todo, decode, workers=workers,
-                                            depth=2):
+    batch_scenes = max(1, args.batch_scenes)
+    if batch_scenes > 1 and args.detector != "rg":
+        logger.error("--batch-scenes applies to the rg detector only")
+        return 1
+    stream = decode_pool(todo, decode, workers=workers,
+                         depth=max(2, batch_scenes + 1))
+
+    if batch_scenes > 1:
+        # G same-shape scenes per dispatched program: the fixed dispatch
+        # tax amortises across the group (72.9 -> 65.2 ms/scene at G=8 on
+        # the tunneled v5e, BASELINE.md round 3); per-scene outputs are
+        # bit-identical to the serial path. Shape changes flush the group
+        # (the program is compiled per scene shape).
+        buf = []
+
+        def flush():
+            if not buf:
+                return
+            results = rg_mod.identify_batch(
+                [(g.first_layer(), g.lat, g.lon, d) for _, g, d in buf],
+                fire_df, RGIdentifyConfig())
+            for (fname, g, _d), (aod_df, hull_df, out) in zip(buf, results):
+                write_rg(fname, g, aod_df, hull_df, out)
+            buf.clear()
+
+        for fname, granule, date in stream:
+            if buf and granule.shape != buf[0][1].shape:
+                flush()
+            buf.append((fname, granule, date))
+            if len(buf) == batch_scenes:
+                flush()
+        flush()
+        logger.info("processed %d granules", n_done)
+        return 0
+
+    for fname, granule, date in stream:
         base = os.path.splitext(fname)[0]
         if args.detector == "rg":
             aod_df, hull_df, out = rg_mod.identify(
                 granule.first_layer(), granule.lat, granule.lon, date,
                 fire_df, RGIdentifyConfig(),
             )
-            aod_df.to_csv(os.path.join(aod_dir, base + "_aod.csv"),
-                          index=False)
-            if not args.no_masks:
-                # per-plume device masks keyed by hull id: the sharper
-                # curated-training artifact (prepare_model_data prefers
-                # these over convex-hull fills when present)
-                masks = rg_mod.plume_masks(out)
-                if masks:
-                    np.savez_compressed(
-                        os.path.join(paths.ensure("plume_mask_dir"),
-                                     base + "_masks.npz"),
-                        **{str(pid): m for pid, m in masks.items()})
-            if args.plot and len(aod_df):
-                from plumekit.viz import plot_identify_bboxes
-
-                plot_identify_bboxes(
-                    granule.first_layer(), aod_df,
-                    os.path.join(paths.ensure("plot_dir"),
-                                 base + "_plot.png"),
-                )
-        elif args.detector == "basic":
+            write_rg(fname, granule, aod_df, hull_df, out)
+            continue
+        if args.detector == "basic":
             from plumekit.identify.api import identify as api_identify
 
             # one basic implementation: the api handles negative-zeroing
@@ -663,6 +710,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--no-masks", action="store_true",
                    help="skip the per-plume device-mask npz (rg detector; "
                         "reference-parity hull-only artifacts)")
+    f.add_argument("--batch-scenes", type=int, default=1,
+                   help="same-shape scenes identified per dispatched "
+                        "program (rg detector; amortises the fixed "
+                        "dispatch tax — 72.9→65.2 ms/scene at 8, "
+                        "BASELINE.md round 3)")
     f.set_defaults(fn=cmd_build_features)
 
     pm = sub.add_parser("prepare_model_data",

@@ -369,3 +369,28 @@ def _flat_tol(values, valid):
 @lru_cache(maxsize=32)
 def cached_sweep_identifier(statics: SweepStatics):
     return make_sweep_identifier(statics)
+
+
+@lru_cache(maxsize=32)
+def cached_batch_sweep_identifier(statics: SweepStatics):
+    """Single-device G-scene variant: ``fn(aods (G,H,W), nulls (G,H,W),
+    thresholds (T,), rows (G,F), cols (G,F), valid (G,F)) -> dict of
+    stacked outputs`` — G scenes' sweeps in ONE dispatched program.
+
+    ``lax.map`` (sequential), not vmap: each scene's CCL ``while_loop``
+    runs its own iteration count; a vmapped while_loop would make every
+    scene pay the slowest one's sweep count. Per-scene results are
+    bit-identical to :func:`cached_sweep_identifier` on the same scene
+    (same program body, mapped). Measured on the tunneled v5e: 72.9 →
+    65.2 ms/scene at G=8 (BASELINE.md round 3) — the residual per-program
+    dispatch tax after the CCL megakernel already collapsed the op count."""
+    sweep = make_sweep_identifier(statics, jit=False)
+
+    def batched(aods, nulls, thresholds, rows, cols, valid):
+        def one(args):
+            aod, null, r, c, v = args
+            return sweep(aod, aod, null, thresholds, r, c, v)
+
+        return jax.lax.map(one, (aods, nulls, rows, cols, valid))
+
+    return jax.jit(batched)
