@@ -362,7 +362,8 @@ def cmd_prepare_model_data(args) -> int:
 
     paths = PathsConfig(root=args.root)
     written = build_model_data(paths, fire_csv=args.fires,
-                               use_masks=not args.hulls_only)
+                               use_masks=not args.hulls_only,
+                               uncurated=args.uncurated)
     logger.info("wrote %d model-ready samples to %s", len(written),
                 paths.resolve("model_data_dir"))
     return 0 if written else 1
@@ -726,6 +727,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rasterise convex hulls even when per-plume device "
                          "masks exist (the reference's exact curated "
                          "artifact; default prefers the sharper masks)")
+    pm.add_argument("--uncurated", action="store_true",
+                    help="use the FULL identify output (hull_df_dir) "
+                         "instead of the curated reduced set — raw "
+                         "weak-label training without human review")
     pm.set_defaults(fn=cmd_prepare_model_data)
 
     t = sub.add_parser("train_model", help="train the U-Net")

@@ -118,6 +118,7 @@ def build_model_data(
     fire_csv: Optional[str] = None,
     out_dir: Optional[str] = None,
     use_masks: bool = True,
+    uncurated: bool = False,
 ) -> List[str]:
     """For every curated hull CSV (``reduced/plume/hull/*_extent.csv``),
     rasterise kept plumes per orbit layer and write a model-ready npz
@@ -130,11 +131,19 @@ def build_model_data(
     artifact (hull fills coarsen thin plumes: measured −0.02 IoU clean /
     hull-vs-mask gap in the false-plume regime, BASELINE.md round 3).
     Granules without the npz (or ``use_masks=False``) use the reference's
-    hull-rasterisation pathway."""
+    hull-rasterisation pathway.
+
+    With ``uncurated``, the FULL identify output (``hull_df_dir``) is used
+    instead of the curated reduced set — every detected plume counts as
+    kept. This is the raw-weak-label training path for a campaign without
+    (or before) human review: on clean-regime synthetic scenes raw weak
+    masks score within noise of curated ones; curation pays when the weak
+    labeller admits false plumes (docs/quality.md)."""
     from plumekit.io.dates import granule_date
     from plumekit.io.fires import load_fire_csv
 
-    reduced_dir = paths.ensure("reduced_plume_hull_dir")
+    reduced_dir = paths.ensure(
+        "hull_df_dir" if uncurated else "reduced_plume_hull_dir")
     maiac_dir = paths.ensure("maiac_dir")
     out_dir = out_dir or paths.ensure("model_data_dir")
     fire_df = None
@@ -152,6 +161,13 @@ def build_model_data(
             continue
         hull_df = pd.read_csv(os.path.join(reduced_dir, fname))
         if not len(hull_df):
+            continue
+        if not {"hull_x", "hull_y"} <= set(hull_df.columns):
+            # the basic detector writes bbox-only extent CSVs into the
+            # same tree (no hulls to rasterise) — skip, don't KeyError;
+            # reachable via the uncurated path over hull_df_dir
+            logger.info("%s has no hull columns (basic detector) — "
+                        "skipping", fname)
             continue
         base = fname.replace("_extent.csv", "")
         gpath = find_granule(maiac_dir, base)

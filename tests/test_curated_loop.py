@@ -101,6 +101,68 @@ def test_build_model_data_and_dataset(tmp_path):
         make_curated_dataset(str(tmp_path / "empty_dir_nope"))
 
 
+def test_build_model_data_uncurated(tmp_path):
+    """--uncurated builds samples from the FULL identify output
+    (hull_df_dir) — the raw-weak-label path when nothing was curated —
+    preferring device masks, and skipping hull-less (basic detector)
+    extent CSVs instead of crashing."""
+    from plumekit.config import PathsConfig
+    from plumekit.io.granule import save_granule
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    scene = make_scene(SyntheticSceneConfig(size=96, n_plumes=2, seed=2))
+    ts = next(iter(scene.granule.layers))
+    save_granule(os.path.join(paths.ensure("maiac_dir"), "g0.npz"),
+                 scene.granule)
+
+    mask = np.zeros((96, 96), bool)
+    mask[20:40, 10:30] = True
+    df = _hull_df_from_mask(mask, 0, dt=ts)
+    df.to_csv(os.path.join(paths.ensure("hull_df_dir"), "g0_extent.csv"),
+              index=False)
+    # device mask npz keyed by the hull id: sharper than the convex fill
+    dev = np.zeros((96, 96), bool)
+    dev[22:38, 12:28] = True
+    np.savez_compressed(os.path.join(paths.ensure("plume_mask_dir"),
+                                     "g0_masks.npz"), **{"0": dev})
+    # a basic-detector bbox-only CSV in the same tree must be skipped
+    pd.DataFrame({"plume_id": [1], "min_r": [0], "min_c": [0],
+                  "max_r": [5], "max_c": [5]}).to_csv(
+        os.path.join(paths.resolve("hull_df_dir"), "gb_extent.csv"),
+        index=False)
+
+    # nothing curated: the default (reduced) path finds nothing...
+    assert build_model_data(paths) == []
+    # ...the uncurated path builds from the full identify output
+    written = build_model_data(paths, uncurated=True)
+    assert len(written) == 1
+    with np.load(written[0]) as z:
+        np.testing.assert_array_equal(z["mask"].astype(bool), dev)
+
+
+def test_prepare_model_data_uncurated_cli(tmp_path):
+    from plumekit.cli import main
+    from plumekit.config import PathsConfig
+    from plumekit.io.granule import save_granule
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    scene = make_scene(SyntheticSceneConfig(size=96, n_plumes=1, seed=3))
+    save_granule(os.path.join(paths.ensure("maiac_dir"), "g0.npz"),
+                 scene.granule)
+    mask = np.zeros((96, 96), bool)
+    mask[10:30, 40:60] = True
+    _hull_df_from_mask(mask, 0, dt=next(iter(scene.granule.layers))).to_csv(
+        os.path.join(paths.ensure("hull_df_dir"), "g0_extent.csv"),
+        index=False)
+    assert main(["prepare_model_data", "--root", root, "--uncurated"]) == 0
+    outs = os.listdir(paths.resolve("model_data_dir"))
+    assert len(outs) == 1
+
+
 @pytest.mark.skipif(os.environ.get("PLUMEKIT_RUN_SLOW") != "1",
                     reason="slow E2E (identify compile); PLUMEKIT_RUN_SLOW=1")
 def test_cli_full_curated_loop(tmp_path):
