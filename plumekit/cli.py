@@ -267,7 +267,10 @@ def cmd_build_features(args) -> int:
     # worker hides npz-inflate/HDF time behind it); depth bounds staged
     # granules in host RAM
     workers = max(1, min(4, (os.cpu_count() or 1) - 1))
-    batch_scenes = max(1, args.batch_scenes)
+    batch_scenes = args.batch_scenes
+    if batch_scenes < 1:
+        logger.error("--batch-scenes must be >= 1, got %d", batch_scenes)
+        return 1
     if batch_scenes > 1 and args.detector != "rg":
         logger.error("--batch-scenes applies to the rg detector only")
         return 1
@@ -462,8 +465,7 @@ def cmd_predict_model(args) -> int:
                                    channels=unet_cfg.in_channels)
         depth = unet_cfg.depth
 
-    out_dir = os.path.join(args.root, "processed", "predictions")
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = paths.ensure("predictions_dir")
     maiac_dir = paths.ensure("maiac_dir")
     granule_paths = [
         os.path.join(maiac_dir, f)
@@ -535,8 +537,7 @@ def cmd_evaluate_model(args) -> int:
 
     paths = PathsConfig(root=args.root)
     data_dir = args.data or paths.resolve("model_data_dir")
-    out_csv = args.out or os.path.join(args.root, "processed",
-                                       "evaluation.csv")
+    out_csv = args.out or paths.resolve("evaluation_csv")
     if args.predictions:
         df = evaluate_predictions(args.predictions, data_dir,
                                   threshold=args.threshold)

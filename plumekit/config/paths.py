@@ -54,6 +54,12 @@ class PathsConfig:
     model_data_dir: str = "processed/model_data"
     model_dir: str = "models"
 
+    # prediction/evaluation outputs (plumekit extensions; single source of
+    # truth shared by predict_model / evaluate_model / report — duplicated
+    # literals drifted once already)
+    predictions_dir: str = "processed/predictions"
+    evaluation_csv: str = "processed/evaluation.csv"
+
     #: per-plume device masks saved by build_features (plumekit extension:
     #: the reference persists only hulls — plume_selector.py:229-233 — so
     #: its curated training targets are convex fills; keeping the detector

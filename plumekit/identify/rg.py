@@ -131,6 +131,9 @@ def identify_batch(
     ``plume_identifier_rg.py:537-576``."""
     from plumekit.identify.pipeline import cached_batch_sweep_identifier
 
+    scenes = list(scenes)   # tolerate generators: iterated several times
+    if not scenes:
+        raise ValueError("identify_batch got no scenes")
     shapes = {s[0].shape for s in scenes}
     if len(shapes) != 1:
         raise ValueError(

@@ -71,11 +71,11 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
 
         for f in fire_csvs:
             try:
-                n = len(pd.read_csv(
-                    os.path.join(paths.resolve("fires_dir"), f)))
+                count = "{} detections".format(len(pd.read_csv(
+                    os.path.join(paths.resolve("fires_dir"), f))))
             except Exception:                       # noqa: BLE001
-                n = -1
-            lines.append(f"* fire table `{f}`: {n} detections")
+                count = "unreadable"
+            lines.append(f"* fire table `{f}`: {count}")
     viirs_aod = _count_files(paths.resolve("viirs_aod_dir"), [".h5"])
     if viirs_aod:
         lines.append(f"* VIIRS IVAOT granules: {len(viirs_aod)}")
@@ -94,14 +94,20 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
         lines.append("")
 
     # --- curation --------------------------------------------------------
-    kf, _, kp = _hull_stats(paths.resolve("reduced_plume_hull_dir"))
-    rf, _, rp = _hull_stats(paths.resolve("reduced_not_plume_hull_dir"))
+    kept_dir = paths.resolve("reduced_plume_hull_dir")
+    rej_dir = paths.resolve("reduced_not_plume_hull_dir")
+    kf, _, kp = _hull_stats(kept_dir)
+    rf, _, rp = _hull_stats(rej_dir)
     if kf or rf:
         total = kp + rp
         pct = 100.0 * kp / total if total else 0.0
+        # union of basenames: an asymmetric tree (all-kept granule A +
+        # all-rejected granule B, or pruned empty CSVs) must not undercount
+        n_gran = len(set(_count_files(kept_dir, ["_extent.csv"]))
+                     | set(_count_files(rej_dir, ["_extent.csv"])))
         lines += ["## Curation", "",
                   f"* kept **{kp}** / rejected {rp} plumes "
-                  f"({pct:.0f}% acceptance) across {max(kf, rf)} granules",
+                  f"({pct:.0f}% acceptance) across {n_gran} granules",
                   ""]
 
     # --- model data ------------------------------------------------------
@@ -143,7 +149,7 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
         lines.append("")
 
     # --- predictions -----------------------------------------------------
-    pred_dir = os.path.join(root, "processed", "predictions")
+    pred_dir = paths.resolve("predictions_dir")
     preds = _count_files(pred_dir, ["_pred.npz"])
     if preds:
         cov = []
@@ -155,7 +161,7 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
                   f"coverage {100 * float(np.mean(cov)):.2f}%", ""]
 
     # --- evaluation ------------------------------------------------------
-    eval_csv = os.path.join(root, "processed", "evaluation.csv")
+    eval_csv = paths.resolve("evaluation_csv")
     if os.path.exists(eval_csv):
         import pandas as pd
 
@@ -170,7 +176,7 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
                     lines.append(f"| {k} | {float(r[k]):.4f} |")
             lines += ["",
                       f"(pooled over {len(ev) - 2} samples; per-sample "
-                      f"rows in `processed/evaluation.csv`)", ""]
+                      f"rows in `{paths.evaluation_csv}`)", ""]
 
     if len(lines) <= 6:
         lines += ["*(empty workspace: run `plumekit make_dataset` / "
