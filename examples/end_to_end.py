@@ -20,8 +20,11 @@ import numpy as np
 
 import jax
 
-if jax.default_backend() == "cpu":
-    pass  # fine
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # honor an explicit CPU request BEFORE the first backend query: some
+    # environments force-register an external TPU plugin that wins over
+    # the env var alone (CLAUDE.md "environment quirks")
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
@@ -103,6 +106,17 @@ def main() -> int:
           "see BASELINE.md for measured quality)")
     plot_prediction(channels[..., 0], probs,
                     os.path.join(out_dir, "prediction.png"))
+
+    print("6) evaluation (pooled + per-sample confusion metrics)")
+    from plumekit.train.evaluate import _score_rows
+
+    gt = scene_to_sample(scene).mask.astype(bool)
+    table = _score_rows([("demo_granule", probs > 0.5, gt)])
+    micro = table[table.name == "micro"].iloc[0]
+    print(f"   vs ground truth: IoU {micro['iou']:.3f} "
+          f"precision {micro['precision']:.3f} recall {micro['recall']:.3f} "
+          "(workspace campaigns: `plumekit evaluate_model` / "
+          "`plumekit report`)")
     print(f"done — artifacts in {out_dir}/")
     return 0
 
