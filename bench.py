@@ -177,7 +177,38 @@ def bench_torch_cpu() -> float:
     return TILE * TILE / best / 1e6
 
 
+def _probe_backend(attempts: int = 4, probe_timeout: int = 180,
+                   backoff: int = 120) -> None:
+    """Bounded SUBPROCESS probe of the TPU backend before committing this
+    process to it. Round-3 finding: when the tunnel is down, in-process
+    backend init blocks ~25 minutes before raising UNAVAILABLE and the
+    failure is then cached for the process — a cheap subprocess probe with
+    retries rides out a transient outage in minutes instead, and a real
+    outage fails fast with a clear message."""
+    import subprocess
+
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                return
+            last = (r.stderr or "").strip().splitlines()[-1:] or [""]
+            last = last[0]
+        except subprocess.TimeoutExpired:
+            last = f"backend init exceeded {probe_timeout}s"
+        print(f"backend probe {i + 1}/{attempts} failed: {last}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(backoff)
+    raise RuntimeError(
+        f"TPU backend unreachable after {attempts} probes: {last}")
+
+
 def main() -> int:
+    _probe_backend()
     # the tunneled backend occasionally drops a dispatch with a transient
     # FAILED_PRECONDITION (observed round 3: identical program succeeded on
     # immediate re-run) — one retry keeps a blip from zeroing the round.
