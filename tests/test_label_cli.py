@@ -135,6 +135,18 @@ def test_cli_full_pipeline(tmp_path):
     assert main(["predict_model", "--root", root, "--tile", "64"]) == 0
     preds = list((tmp_path / "processed/predictions").glob("*_pred.npz"))
     assert preds
+    # the post-model half of the chain: weak labels straight to model-ready
+    # samples (no curation), score the saved predictions, summarise
+    assert main(["prepare_model_data", "--root", root, "--uncurated"]) == 0
+    assert main(["evaluate_model", "--root", root,
+                 "--predictions", str(tmp_path / "processed/predictions"),
+                 ]) == 0
+    assert (tmp_path / "processed/evaluation.csv").exists()
+    assert main(["report", "--root", root]) == 0
+    text = (tmp_path / "reports/report.md").read_text()
+    for section in ("## Identify", "## Model-ready data", "## Training",
+                    "## Predictions", "## Evaluation"):
+        assert section in text, section
 
 
 def test_subset_plume_matches_reference_branch_semantics():
