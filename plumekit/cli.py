@@ -383,7 +383,8 @@ def cmd_train_model(args) -> int:
     if args.curated:
         curated_dir = PathsConfig(root=args.root).resolve("model_data_dir")
     history = train(
-        unet_cfg=UNetConfig(),
+        unet_cfg=UNetConfig(arch=args.arch,
+                            deep_supervision=args.deep_supervision),
         train_cfg=TrainConfig(
             total_steps=args.steps, batch_size=args.batch_size,
             tile_size=args.tile, checkpoint_dir=os.path.join(
@@ -402,18 +403,22 @@ def cmd_train_model(args) -> int:
 
 def _restore_variables(args):
     """Shared by predict/export: build the model state and restore the
-    latest checkpoint (warns and keeps fresh weights if none exists)."""
+    latest checkpoint (warns and keeps fresh weights if none exists).
+    The architecture comes from the ``model_config.json`` the train loop
+    persists next to the checkpoints — serving a UNet++ checkpoint through
+    a UNet skeleton would fail (or worse, half-restore) otherwise."""
     import jax
 
     from plumekit.config.train import TrainConfig, UNetConfig
-    from plumekit.train.checkpoint import restore_checkpoint, latest_step
+    from plumekit.train.checkpoint import (load_model_config,
+                                           restore_checkpoint, latest_step)
     from plumekit.train.state import create_state
 
-    unet_cfg = UNetConfig()
-    state = create_state(jax.random.PRNGKey(0), unet_cfg, TrainConfig())
     ckpt_dir = args.checkpoint or os.path.join(args.root,
                                                PathsConfig().model_dir,
                                                "checkpoints")
+    unet_cfg = load_model_config(ckpt_dir) or UNetConfig()
+    state = create_state(jax.random.PRNGKey(0), unet_cfg, TrainConfig())
     if latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)
         logger.info("restored checkpoint step %s", latest_step(ckpt_dir))
@@ -431,7 +436,7 @@ def cmd_predict_model(args) -> int:
     from plumekit.config.train import InferConfig
     from plumekit.io.granule import (GRANULE_EXTENSIONS, load_granule,
                                      NULL_VALUE)
-    from plumekit.models import UNet
+    from plumekit.models import build_model
 
     paths = PathsConfig(root=args.root)
     unet_cfg, variables = _restore_variables(args)
@@ -452,8 +457,13 @@ def cmd_predict_model(args) -> int:
     else:
         from plumekit.infer import make_sliding_infer
 
-        model = UNet(unet_cfg)
+        model = build_model(unet_cfg)
         if args.fused:
+            if unet_cfg.arch != "unet":
+                logger.error("--fused (Pallas forward) supports the unet "
+                             "architecture only; checkpoint is %s",
+                             unet_cfg.arch)
+                return 1
             from plumekit.models.fused_forward import make_fused_apply
 
             apply_fn = make_fused_apply(unet_cfg)
@@ -544,10 +554,10 @@ def cmd_evaluate_model(args) -> int:
     else:
         from plumekit.config.train import InferConfig
         from plumekit.infer import make_sliding_infer
-        from plumekit.models import UNet
+        from plumekit.models import build_model
 
         unet_cfg, variables = _restore_variables(args)
-        infer = make_sliding_infer(UNet(unet_cfg).apply,
+        infer = make_sliding_infer(build_model(unet_cfg).apply,
                                    InferConfig(tile_size=args.tile,
                                                overlap=args.overlap),
                                    channels=unet_cfg.in_channels)
@@ -757,6 +767,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "device (4 B/px instead of 12 over the transfer-"
                         "bound host->device hop; granules quantized once "
                         "up front)")
+    t.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
+                   help="architecture family (unetpp = nested dense skips, "
+                        "arXiv:1807.10165); persisted next to checkpoints "
+                        "so predict/export/evaluate rebuild it")
+    t.add_argument("--deep-supervision", action="store_true",
+                   help="unetpp only: average the per-column side heads")
     t.set_defaults(fn=cmd_train_model)
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")

@@ -23,6 +23,14 @@ class UNetConfig:
     depth: int = 4                # number of down/up stages
     norm: str = "batch"           # "batch" | "group" | "none"
     group_norm_groups: int = 8
+    #: architecture family: "unet" (the reference's promised model) or
+    #: "unetpp" (UNet++ nested dense skips, Zhou et al. 2018 — denser
+    #: multi-scale fusion at ~1.6x the decoder params; same (B, H, W, 1)
+    #: logits contract, so every train/infer/export path is shared)
+    arch: str = "unet"
+    #: UNet++ only: average the per-column side heads instead of reading
+    #: the last column alone (the paper's deep-supervision mode)
+    deep_supervision: bool = False
     #: compute dtype; params stay fp32 masters (config 4: bf16 mixed precision)
     compute_dtype: str = "bfloat16"
     #: use the fused Pallas conv+norm+ReLU kernel on TPU (lax.conv fallback)

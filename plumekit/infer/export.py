@@ -64,7 +64,7 @@ def export_sliding_infer(
 
     from plumekit.infer.sliding import (make_multi_granule_infer,
                                         make_sliding_infer)
-    from plumekit.models import UNet
+    from plumekit.models import build_model
 
     h, w = granule_hw
     div = 2 ** unet_cfg.depth
@@ -73,7 +73,7 @@ def export_sliding_infer(
             f"granule shape {granule_hw} must be divisible by 2**depth "
             f"({div}); pad with plumekit.infer.sliding.pad_to_multiple")
 
-    model = UNet(unet_cfg)
+    model = build_model(unet_cfg)
     if granules > 1:
         fn = make_multi_granule_infer(model.apply, infer_cfg,
                                       channels=unet_cfg.in_channels)

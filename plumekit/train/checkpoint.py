@@ -119,6 +119,44 @@ def prune_after(ckpt_dir: str, step: int) -> None:
                 shutil.rmtree(os.path.join(ckpt_dir, d))
 
 
+def save_model_config(ckpt_dir: str, unet_cfg) -> None:
+    """Persist the architecture next to its checkpoints
+    (``model_config.json``) so serving rebuilds the exact model. Written
+    atomically; the train loop calls this once up front."""
+    import dataclasses
+    import json
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "model_config.json")
+    tmp = path + ".json.tmp"   # latest_step ignores non-step_ names anyway
+    with open(tmp, "w") as f:
+        json.dump(dataclasses.asdict(unet_cfg), f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_model_config(ckpt_dir: str):
+    """The persisted UNetConfig, or ``None`` (pre-round-3 checkpoint dirs
+    have no record — callers fall back to the default config, which is the
+    only thing those runs could have trained)."""
+    import json
+
+    path = os.path.join(ckpt_dir, "model_config.json")
+    if not os.path.exists(path):
+        return None
+    from plumekit.config.train import UNetConfig
+
+    with open(path) as f:
+        d = json.load(f)
+    known = {f.name for f in __import__("dataclasses").fields(UNetConfig)}
+    dropped = set(d) - known
+    if dropped:  # forward compatibility: ignore fields newer than this code
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "model_config.json has unknown fields %s — ignored", dropped)
+    return UNetConfig(**{k: v for k, v in d.items() if k in known})
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -54,8 +54,13 @@ def train(
     # the same remaining schedule every time
     start_step = 0
     if checkpoint:
-        from plumekit.train.checkpoint import latest_step, restore_checkpoint
+        from plumekit.train.checkpoint import (latest_step,
+                                               restore_checkpoint,
+                                               save_model_config)
 
+        # architecture record: predict/export/evaluate rebuild the exact
+        # model from this instead of assuming the default config
+        save_model_config(train_cfg.checkpoint_dir, unet_cfg)
         last = latest_step(train_cfg.checkpoint_dir)
         if last is not None and last <= train_cfg.total_steps:
             state = restore_checkpoint(train_cfg.checkpoint_dir, state, last)

@@ -15,7 +15,7 @@ import optax
 from flax.training import train_state
 
 from plumekit.config.train import TrainConfig, UNetConfig
-from plumekit.models.unet import UNet
+from plumekit.models.unetpp import build_model
 
 
 class TrainState(train_state.TrainState):
@@ -41,7 +41,7 @@ def create_state(
 ) -> TrainState:
     """Initialise model + optimiser. ``sample_shape`` defaults to one
     (1, tile, tile, in_channels) tile."""
-    model = UNet(unet_cfg, axis_name=axis_name)
+    model = build_model(unet_cfg, axis_name=axis_name)
     if sample_shape is None:
         sample_shape = (1, train_cfg.tile_size, train_cfg.tile_size,
                         unet_cfg.in_channels)

@@ -301,7 +301,8 @@ def test_early_stop_checkpoint_is_self_consistent(tmp_path):
     # frozen model: first eval (step 5) is best; stop at step 15; the
     # step-10 interval checkpoint must be pruned
     assert latest_step(ckpt) == 5
-    assert sorted(os.listdir(ckpt)) == ["step_00000005"]
+    assert sorted(os.listdir(ckpt)) == ["model_config.json",
+                                        "step_00000005"]
     target = create_state(jax.random.PRNGKey(0), unet, tcfg)
     restored = restore_checkpoint(ckpt, jax.tree.map(jnp.zeros_like, target))
     assert int(restored.step) == 5
