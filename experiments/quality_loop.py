@@ -45,6 +45,11 @@ p.add_argument("--regime", choices=["clean", "false-plume"],
                     "gates are loosened (no elongation/profile checks) — "
                     "the regime the reference's human curation exists for "
                     "(plume_selector.py:137-233)")
+p.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
+               help="architecture family under test (same labels/dev set)")
+p.add_argument("--base", type=int, default=32,
+               help="base features (smaller for CPU-scale studies)")
+p.add_argument("--depth", type=int, default=4)
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 label_names = [s.strip() for s in args.labels.split(",") if s.strip()]
@@ -208,7 +213,8 @@ train_cfg = TrainConfig(
     log_every=200, eval_every=100, early_stop_patience=8,
     label_smooth=args.smooth, checkpoint_dir="/tmp/quality_loop_ckpt",
 )
-unet_cfg = UNetConfig()
+unet_cfg = UNetConfig(arch=args.arch, base_features=args.base,
+                      depth=args.depth)
 
 results = {}
 for name in label_names:
