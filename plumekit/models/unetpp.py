@@ -88,6 +88,11 @@ def build_model(cfg: UNetConfig, axis_name: Optional[str] = None):
     consumer (create_state, CLI restore, exports) selects through here so
     an architecture mismatch between train and serve cannot happen
     silently."""
+    if cfg.deep_supervision and cfg.arch != "unetpp":
+        raise ValueError(
+            "deep_supervision is a UNet++ mode (side heads on the nested "
+            f"top-row columns); arch is {cfg.arch!r} — a silently ignored "
+            "flag would also be persisted into model_config.json")
     if cfg.arch == "unetpp":
         return UNetPP(cfg, axis_name=axis_name)
     if cfg.arch == "unet":

@@ -65,7 +65,16 @@ def _drop_partial_tmps(ckpt_dir: str) -> None:
         return
     for name in os.listdir(ckpt_dir):
         if name.endswith(".tmp"):
-            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+            p = os.path.join(ckpt_dir, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                # file-typed tmps (e.g. an orphaned model_config.json.tmp):
+                # rmtree silently no-ops on files, leaving them forever
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int,
@@ -128,7 +137,7 @@ def save_model_config(ckpt_dir: str, unet_cfg) -> None:
 
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, "model_config.json")
-    tmp = path + ".json.tmp"   # latest_step ignores non-step_ names anyway
+    tmp = path + ".tmp"   # latest_step ignores non-step_ names anyway
     with open(tmp, "w") as f:
         json.dump(dataclasses.asdict(unet_cfg), f, indent=1)
     os.replace(tmp, path)

@@ -55,13 +55,28 @@ def train(
     start_step = 0
     if checkpoint:
         from plumekit.train.checkpoint import (latest_step,
+                                               load_model_config,
                                                restore_checkpoint,
                                                save_model_config)
 
+        last = latest_step(train_cfg.checkpoint_dir)
+        recorded = load_model_config(train_cfg.checkpoint_dir)
+        if last is not None and recorded is not None \
+                and recorded != unet_cfg:
+            # NEVER overwrite the record of live checkpoints with a
+            # different config: the restore below would die on the tree
+            # mismatch anyway, but by then the record — the only thing
+            # that lets serving rebuild those checkpoints — would already
+            # be corrupted
+            raise ValueError(
+                f"checkpoint dir {train_cfg.checkpoint_dir!r} holds "
+                f"step-{last} checkpoints trained with {recorded}; "
+                f"the requested config is {unet_cfg}. Pass the matching "
+                "config to resume, or point checkpoint_dir at a fresh "
+                "directory")
         # architecture record: predict/export/evaluate rebuild the exact
         # model from this instead of assuming the default config
         save_model_config(train_cfg.checkpoint_dir, unet_cfg)
-        last = latest_step(train_cfg.checkpoint_dir)
         if last is not None and last <= train_cfg.total_steps:
             state = restore_checkpoint(train_cfg.checkpoint_dir, state, last)
             start_step = last

@@ -111,6 +111,47 @@ def test_model_config_persistence_roundtrip(tmp_path):
     assert load_model_config(str(tmp_path / "nope")) is None
 
 
+def test_resume_arch_mismatch_refuses_without_clobbering(tmp_path):
+    """Resuming a checkpoint dir with a DIFFERENT config must fail loudly
+    BEFORE the persisted record is overwritten — a clobbered
+    model_config.json would leave the surviving checkpoints unservable
+    (the exact mismatch persistence exists to prevent)."""
+    import json
+
+    from plumekit.train.loop import train
+
+    ck = str(tmp_path / "ckpt")
+    kwargs = dict(
+        train_cfg=TrainConfig(total_steps=2, batch_size=2, tile_size=32,
+                              log_every=0, eval_every=0, checkpoint_dir=ck,
+                              checkpoint_every=2),
+        data_cfg=DataConfig(granule_size=64, n_train_granules=1,
+                            n_eval_granules=1),
+    )
+    train(unet_cfg=PP_SMALL, **kwargs)
+    with pytest.raises(ValueError, match="matching config"):
+        train(unet_cfg=UNetConfig(in_channels=2, base_features=8, depth=2,
+                                  compute_dtype="float32"), **kwargs)
+    record = json.load(open(os.path.join(ck, "model_config.json")))
+    assert record["arch"] == "unetpp"  # untouched
+
+
+def test_deep_supervision_requires_unetpp():
+    with pytest.raises(ValueError, match="deep_supervision"):
+        build_model(UNetConfig(deep_supervision=True))  # default arch=unet
+
+
+def test_writer_sweep_removes_file_tmps(tmp_path):
+    """An orphaned model_config.json.tmp (file, not dir) must be reaped by
+    the writer-side sweep — rmtree silently no-ops on files."""
+    from plumekit.train.checkpoint import _drop_partial_tmps
+
+    orphan = tmp_path / "model_config.json.tmp"
+    orphan.write_text("{}")
+    _drop_partial_tmps(str(tmp_path))
+    assert not orphan.exists()
+
+
 def test_unetpp_cli_train_then_predict(tmp_path):
     """--arch unetpp end-to-end: predict must rebuild UNet++ from the
     persisted record (restoring through a UNet skeleton would fail)."""
