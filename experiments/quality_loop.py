@@ -50,6 +50,8 @@ p.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
 p.add_argument("--base", type=int, default=32,
                help="base features (smaller for CPU-scale studies)")
 p.add_argument("--depth", type=int, default=4)
+p.add_argument("--deep-supervision", action="store_true",
+               help="unetpp: average the per-column side heads")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 label_names = [s.strip() for s in args.labels.split(",") if s.strip()]
@@ -214,7 +216,8 @@ train_cfg = TrainConfig(
     label_smooth=args.smooth, checkpoint_dir="/tmp/quality_loop_ckpt",
 )
 unet_cfg = UNetConfig(arch=args.arch, base_features=args.base,
-                      depth=args.depth)
+                      depth=args.depth,
+                      deep_supervision=args.deep_supervision)
 
 results = {}
 for name in label_names:

@@ -155,5 +155,11 @@ def receptive_field(depth: int) -> int:
     Each 3×3 conv adds one pixel of radius at its scale: encoder and decoder
     both run a double conv at scales 2^0..2^(depth−1) and the bottleneck at
     2^depth, so radius = Σ 2·2^i · 2 + 2·2^depth = 6·2^depth − 4.
+
+    Holds for UNet++ at the same depth too: its output path through the
+    deepest row has exactly the U-Net's scale/conv sequence, and every
+    dense-skip path tops out shallower (a path peaking at row k < depth
+    has radius ≤ 6·2^k − 4 + 2·(depth − k) < 6·2^depth − 4), so the
+    deepest-row path sets the radius for both architectures.
     """
     return 6 * 2**depth - 4
