@@ -154,6 +154,34 @@ def test_sharded_infer_matches_unsharded(model_and_vars):
     np.testing.assert_allclose(p[28:36, r:-r], d[28:36, r:-r], atol=1e-4)
 
 
+def test_sharded_infer_matches_unsharded_unetpp():
+    """The receptive_field() radius must also be sufficient for UNet++
+    (its deepest-row path sets the radius — models/unet.py docstring):
+    spatially-sharded UNet++ inference matches unsharded in the interior."""
+    from plumekit.models import build_model
+
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="float32", arch="unetpp")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 64, 64, 2)), train=False)
+    mesh = make_mesh(MeshConfig(data=1, y=2, x=4))
+    rng = np.random.default_rng(5)
+    image = rng.random((64, 128, 2)).astype(np.float32)
+
+    min_halo = receptive_field(cfg.depth)
+    halo = choose_halo(min_halo, 64 // 2, cfg.depth)
+    infer = make_sharded_infer(model.apply, mesh, halo)
+    probs, _ = infer(variables, jnp.asarray(image))
+    direct = jax.nn.sigmoid(
+        model.apply(variables, jnp.asarray(image)[None],
+                    train=False)[0, ..., 0])
+    p, d = np.asarray(probs), np.asarray(direct)
+    assert np.isfinite(p).all()
+    r = min_halo
+    np.testing.assert_allclose(p[r:-r, r:-r], d[r:-r, r:-r], atol=1e-4)
+
+
 def test_sliding_stitch_parity_class_fast_path():
     """The regular-grid parity-class assembly must reproduce a known global
     function exactly: with a pointwise apply, every tile agrees on overlaps,
