@@ -34,10 +34,18 @@ def sinusoidal_to_wgs84(x, y, *, xp=np):
     polar extent also yields NaN lon."""
     lat = y / SINU_RADIUS_M
     cosl = xp.cos(lat)
-    polar = xp.abs(cosl) < 1e-9
-    lon = xp.where(polar, xp.nan, x / (SINU_RADIUS_M
-                                       * xp.where(polar, 1.0, cosl)))
-    return xp.degrees(lon), xp.degrees(lat)
+    # invalid anywhere OUTSIDE the sinusoidal lens, not just at the exact
+    # pole: |lat| beyond ±90° (off-earth y) and |x| beyond the parallel's
+    # circumference both previously returned huge FINITE longitudes
+    # (measured: lon = -449.7° just past the pole, 8.99e6° near it) —
+    # precisely the poisoned values this guard claims to prevent. Polar
+    # MODIS tiles (v00/v17) have rectangular-grid corners out there.
+    invalid = ((xp.abs(lat) > xp.pi / 2 + 1e-12)
+               | (xp.abs(cosl) < 1e-9)
+               | (xp.abs(x) > SINU_RADIUS_M * xp.pi * xp.abs(cosl) + 1e-6))
+    lon = xp.where(invalid, xp.nan,
+                   x / (SINU_RADIUS_M * xp.where(invalid, 1.0, cosl)))
+    return xp.degrees(lon), xp.degrees(xp.where(invalid, xp.nan, lat))
 
 
 def wgs84_to_sinusoidal(lon_deg, lat_deg, *, xp=np):

@@ -172,9 +172,16 @@ class UTMResampler:
             sv = np.asarray(source_valid, bool)
             src_idx = np.nonzero(sv.ravel())[0]
             if src_idx.size == 0:
-                # degenerate: nothing to resample — 1×1 all-invalid plan
-                self.zone = utm_zone_of(lons)
-                self.south = bool(np.mean(lats) < 0)
+                # degenerate: nothing to resample — 1×1 all-invalid plan.
+                # Zone/hemisphere from the raw arrays would be derived
+                # from geolocation FILLS (e.g. GMTCO's -999.3 → zone 44
+                # south — the exact poisoning source_valid exists to
+                # prevent) and then persisted as grid metadata; clamp to
+                # physical ranges so the (meaningless but harmless)
+                # metadata stays on-earth
+                self.zone = utm_zone_of(np.clip(lons, -180.0, 180.0))
+                self.south = bool(
+                    np.mean(np.clip(lats, -90.0, 90.0)) < 0)
                 self.proj = UTMProjection(self.zone, self.south)
                 self.extent = (0.0, 0.0, self.pixel_size, self.pixel_size)
                 self.x_size = self.y_size = 1

@@ -36,11 +36,14 @@ def subset_fires_to_image(
     ``frp > min_frp`` (``plume_identifier_rg.py:50-58``; the gaussian variant
     omits the FRP gate, ``plume_identifier_gaussian_profile.py:48-55``)."""
     sub = fire_df[fire_df.date_time == date_to_find]
+    # nan-aware bbox: polar/off-lens grid corners carry NaN coordinates
+    # (geo/sinusoidal.py invalid guard) and a plain np.min would turn the
+    # whole bbox NaN, silently dropping every fire
     sub = sub[
-        (sub.latitude > float(np.min(lat)))
-        & (sub.latitude < float(np.max(lat)))
-        & (sub.longitude > float(np.min(lon)))
-        & (sub.longitude < float(np.max(lon)))
+        (sub.latitude > float(np.nanmin(lat)))
+        & (sub.latitude < float(np.nanmax(lat)))
+        & (sub.longitude > float(np.nanmin(lon)))
+        & (sub.longitude < float(np.nanmax(lon)))
     ]
     if min_frp is not None:
         sub = sub.loc[sub.frp > min_frp]

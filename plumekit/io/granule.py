@@ -182,6 +182,16 @@ def read_maiac_hdf4(path: str, max_layers_rule: bool = True,
         aod[aod < 0] = NULL_VALUE
         layers[t] = aod
 
+    if not layers:
+        # >4-orbit granule whose timestamps carry no Aqua ("A") stamp
+        # (e.g. a Terra-only high-latitude tile): the reference dies with
+        # an IndexError at the filter; failing here with the file and the
+        # rule beats a bare StopIteration two lines later
+        raise ValueError(
+            f"{path}: {len(timestamps)} orbit timestamps and none is an "
+            "Aqua ('A') orbit — the reference's >4-layer rule "
+            "(tools.py:79-81) selects Aqua only; pass "
+            "max_layers_rule=False to keep every orbit")
     gridmeta = fattrs["StructMetadata.0"][0]
     x0, y0, x1, y1 = parse_struct_metadata(gridmeta)
     ny, nx = next(iter(layers.values())).shape

@@ -70,14 +70,11 @@ def dbscan_haversine(lats, lons, eps_km: float, min_samples: int = 1
         uf.union(i, j)
     roots = np.array([uf.find(i) for i in range(n)])
     _, labels = np.unique(roots, return_inverse=True)
-    # reorder by first occurrence (sklearn label order); cosmetic only
-    order = {}
-    out = np.empty(n, dtype=np.int64)
-    for i, r in enumerate(labels):
-        if r not in order:
-            order[r] = len(order)
-        out[i] = order[r]
-    return out
+    # already sklearn's first-occurrence label order: the union always
+    # parents the larger root under the smaller, so every cluster's root
+    # is its minimum member index and np.unique's ascending-root inverse
+    # numbers clusters by first appearance
+    return labels.astype(np.int64)
 
 
 def mean_cluster_positions(fire_df, eps_km: float):

@@ -26,6 +26,16 @@ def quantize_uint16(channels: np.ndarray):
     ``value ≈ lo + q * scale`` (max error scale/2)."""
     c = channels.shape[-1]
     flat = channels.reshape(-1, c)
+    if not np.isfinite(flat).all():
+        # one NaN poisons lo/scale and NaN→uint16 is platform-defined
+        # garbage (0 on x86): the payload would decode to a constant
+        # channel with no error anywhere downstream. NaN-null rasters
+        # (e.g. resample_viirs_aod output) must be nan_to_num'd first —
+        # assemble_channels already zeroes nulls on every model path.
+        raise ValueError(
+            "quantize_uint16 requires finite input; found NaN/inf "
+            f"(channel finite counts: {np.isfinite(flat).sum(axis=0)} "
+            f"of {flat.shape[0]})")
     lo = flat.min(axis=0).astype(np.float32)
     hi = flat.max(axis=0).astype(np.float32)
     scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / 65535.0

@@ -87,3 +87,54 @@ def test_utm_resampler_identity_grid():
     valid = out != -999.0
     assert valid.mean() > 0.9
     assert set(np.unique(out[valid])).issubset(set(img.ravel()))
+
+
+def test_sinusoidal_off_lens_returns_nan():
+    """Points outside the sinusoidal lens (beyond-pole y, |x| beyond the
+    parallel's circumference) must return NaN, never huge finite degrees
+    (measured pre-fix: lon = -449.7 deg just past the pole)."""
+    from plumekit.geo.sinusoidal import SINU_RADIUS_M
+
+    R = SINU_RADIUS_M
+    # beyond the pole
+    lon, lat = sinusoidal_to_wgs84(np.array([0.0]),
+                                   np.array([R * (np.pi / 2 + 0.01)]))
+    assert np.isnan(lon[0]) and np.isnan(lat[0])
+    # x beyond the parallel circumference near the pole
+    lon, lat = sinusoidal_to_wgs84(np.array([1e5]),
+                                   np.array([R * np.deg2rad(89.9999)]))
+    assert np.isnan(lon[0])
+    # a valid mid-latitude point stays exact
+    lon, lat = sinusoidal_to_wgs84(np.array([1e6]),
+                                   np.array([R * np.deg2rad(45.0)]))
+    assert np.isfinite(lon[0]) and abs(lat[0] - 45.0) < 1e-9
+
+
+def test_subset_fires_nan_grid_corners():
+    """A grid with NaN corners (polar tile) must keep its bbox from the
+    finite pixels instead of dropping every fire."""
+    import pandas as pd
+
+    from plumekit.io.fires import subset_fires_to_image
+
+    lat = np.linspace(40, 42, 8)[:, None] * np.ones((1, 8))
+    lon = np.ones((8, 1)) * np.linspace(-5, -3, 8)[None, :]
+    lat[0, 0] = lon[0, 0] = np.nan
+    fires = pd.DataFrame({"latitude": [41.0], "longitude": [-4.0],
+                          "frp": [50.0], "date_time": ["2016-05-02"]})
+    sub = subset_fires_to_image(lat, lon, fires, "2016-05-02")
+    assert len(sub) == 1
+
+
+def test_utm_degenerate_plan_clamps_fill_metadata():
+    """All-invalid swath: the 1x1 plan's zone/hemisphere metadata must not
+    be derived from raw geolocation fills (-999.3 gave zone 44 south)."""
+    from plumekit.geo.utm import UTMResampler
+
+    lats = np.full((6, 6), -999.3)
+    lons = np.full((6, 6), -999.3)
+    r = UTMResampler(lats, lons, pixel_size=750.0,
+                     source_valid=np.zeros((6, 6), bool))
+    assert r.x_size == r.y_size == 1 and not r.valid.any()
+    assert 1 <= r.zone <= 60
+    assert r.zone != 44  # the fill-derived artifact

@@ -140,3 +140,12 @@ def test_train_loop_quantized_dp_mesh():
         checkpoint=False,
     )
     assert np.isfinite(hist["loss"]).all()
+
+
+def test_quantize_rejects_nonfinite():
+    """NaN input must fail at the encode (NaN→uint16 is platform-defined
+    garbage that would decode to a constant channel with no error)."""
+    x = np.ones((4, 4, 2), np.float32)
+    x[1, 1, 0] = np.nan
+    with pytest.raises(ValueError, match="finite"):
+        quantize_uint16(x)
