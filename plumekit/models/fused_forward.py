@@ -78,10 +78,9 @@ def make_fused_apply(cfg: UNetConfig):
     if cfg.norm != "batch":
         raise ValueError("fused forward requires the batch-norm U-Net")
     depth = cfg.depth
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-             "float16": jnp.float16}[
-        cfg.compute_dtype
-    ]
+    from plumekit.models.unet import _dtype_of
+
+    dtype = _dtype_of(cfg.compute_dtype)
 
     def apply(variables, x, train: bool = False):
         if train:

@@ -151,11 +151,17 @@ def _double_kernel(x_hbm, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     # the true image, but conv1 computed real values in the halo ring (from
     # the zero-padded input). Zero the ring: intermediate position q maps to
     # true col (q mod w_pad) - 1 and true row i*tile_rows + q//w_pad - 1.
+    # arithmetic mask, NOT jnp.where on an (m,1) i1 vector: broadcasting a
+    # boolean (n,1) against (n,C) goes through v5e Mosaic's
+    # replicated-lane relayout — the construct that crashed/corrupted
+    # unet_mega on-chip (CLAUDE.md Mosaic rules; fix pattern mirrors
+    # unet_mega._double_conv)
     q = lax.broadcasted_iota(jnp.int32, (m_mid, 1), 0)
     col = q % w_pad - 1
     row = i * tile_rows + q // w_pad - 1
-    in_img = (col >= 0) & (col < width) & (row >= 0) & (row < height)
-    inter = jnp.where(in_img, inter, 0)
+    in_img = ((col >= 0) & (col < width) & (row >= 0)
+              & (row < height))
+    inter = inter * in_img.astype(inter.dtype)
 
     acc2 = jnp.zeros((m_out, cout), jnp.float32)
     for dy in range(3):

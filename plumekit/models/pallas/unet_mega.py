@@ -623,8 +623,9 @@ def make_mega_apply(cfg, dbg: str | None = None,
     if cfg.norm != "batch":
         raise ValueError("megakernel forward requires the batch-norm U-Net")
     depth = cfg.depth
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-        cfg.compute_dtype]
+    from plumekit.models.unet import _dtype_of
+
+    dtype = _dtype_of(cfg.compute_dtype)
 
     def apply(variables, x, train: bool = False):
         if train:
@@ -744,6 +745,9 @@ def mega_eligible(cfg, h: int, w: int) -> bool:
     period0 = ((w + 4 + 7) // 8) * 8
     vmem_est = 280 * h * period0 * cfg.base_features
     return (cfg.norm == "batch"
+            and getattr(cfg, "arch", "unet") == "unet"
+            and d >= 1        # depth-0 has no encoder ring for the
+                              # bottleneck feed; fall through to XLA
             and cfg.compute_dtype in ("bfloat16", "float32")
             and cfg.in_channels <= 128
             and h % (1 << d) == 0 and w % (1 << d) == 0

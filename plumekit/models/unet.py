@@ -43,8 +43,13 @@ class _Norm(nn.Module):
                 axis_name=self.axis_name if train else None,
             )(x)
         if self.kind == "group":
-            return nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
-                                dtype=self.dtype)(x)
+            # largest group count ≤ the configured one that DIVIDES the
+            # channel count: min() alone still crashes flax on channels
+            # like 12 (min(8,12)=8, 12 % 8 != 0)
+            import math
+
+            groups = math.gcd(min(self.groups, x.shape[-1]), x.shape[-1])
+            return nn.GroupNorm(num_groups=groups, dtype=self.dtype)(x)
         return x
 
 

@@ -8,8 +8,10 @@ receptive fields (convs, morphology). Implemented inside ``shard_map`` with
 columns); the second phase moves the already-exchanged row halos sideways,
 which transports corner blocks correctly without diagonal sends.
 
-Edge shards pad with ``edge_fill`` (zeros by default), matching "SAME"
-conv/morphology semantics at the true image border.
+Edge shards pad with ZEROS (``lax.ppermute``'s non-participant fill),
+matching "SAME" conv semantics at the true image border. There is no fill
+parameter — an op needing a different border identity (e.g. +inf for
+min-erosion) must bias its input around zero instead.
 """
 
 from __future__ import annotations

@@ -35,10 +35,17 @@ def init_distributed(coordinator: Optional[str] = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        if coordinator is not None:
-            # an explicitly requested cluster join that fails must not
-            # silently degrade to single-host (each host would train its
-            # own model and fight over checkpoints)
+        import os
+
+        env_cluster = any(
+            os.environ.get(v)
+            for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                      "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",
+                      "MEGASCALE_COORDINATOR_ADDRESS"))
+        if coordinator is not None or env_cluster:
+            # a requested OR env-configured cluster join that fails must
+            # not silently degrade to single-host (each host would train
+            # its own model and fight over the same checkpoint dir)
             raise
         pass  # env provides no cluster / already initialised
 

@@ -387,3 +387,15 @@ def test_multi_step_dp_mesh_executes():
     assert np.isfinite(float(metrics["loss"]))
     leaf = jax.tree.leaves(state2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_groupnorm_non_divisible_channels():
+    """GroupNorm must handle channel counts not divisible by the group
+    default (12 % 8 != 0 used to crash flax at init)."""
+    cfg = UNetConfig(in_channels=2, base_features=12, depth=1,
+                     norm="group", compute_dtype="float32")
+    model = UNet(cfg)
+    x = jnp.zeros((1, 16, 16, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 16, 16, 1)
