@@ -76,6 +76,20 @@ def bench_tpu() -> float:
         from plumekit.models.fused_forward import make_fused_apply
 
         apply_fn = make_fused_apply(unet_cfg)
+    elif os.environ.get("PLUMEKIT_BENCH_INT8", "0") == "1":
+        # int8 post-training-quantized forward: all convs on the MXU
+        # s8×s8→s32 path (2× the bf16 rate on v5e) — the compute-ceiling
+        # lever for the dispatch-amortised program (models/
+        # quantized_forward.py; mask-parity tested on CPU)
+        from plumekit.models.quantized_forward import (
+            make_quantized_apply, quantize_unet)
+
+        calib = jnp.asarray(
+            np.random.default_rng(1).random((4, TILE, TILE,
+                                             unet_cfg.in_channels),
+                                            np.float32))
+        variables = quantize_unet(variables, unet_cfg, calib)
+        apply_fn = make_quantized_apply(unet_cfg)
     else:
         apply_fn = model.apply
     icfg = InferConfig(tile_size=TILE, overlap=OVERLAP,

@@ -458,6 +458,10 @@ def cmd_predict_model(args) -> int:
         from plumekit.infer import make_sliding_infer
 
         model = build_model(unet_cfg)
+        if args.fused and args.int8:
+            logger.error("--fused and --int8 are mutually exclusive "
+                         "forward paths")
+            return 1
         if args.fused:
             if unet_cfg.arch != "unet":
                 logger.error("--fused (Pallas forward) supports the unet "
@@ -467,6 +471,15 @@ def cmd_predict_model(args) -> int:
             from plumekit.models.fused_forward import make_fused_apply
 
             apply_fn = make_fused_apply(unet_cfg)
+        elif args.int8:
+            try:
+                from plumekit.models.quantized_forward import (
+                    make_quantized_apply)
+
+                apply_fn = make_quantized_apply(unet_cfg)
+            except ValueError as e:
+                logger.error("--int8: %s", e)
+                return 1
         else:
             apply_fn = model.apply
         infer = make_sliding_infer(apply_fn,
@@ -482,6 +495,24 @@ def cmd_predict_model(args) -> int:
         for f in sorted(os.listdir(maiac_dir))
         if f.endswith(GRANULE_EXTENSIONS)
     ]
+    if args.int8 and getattr(args, "exported", None):
+        logger.error("--int8 quantizes the live model; an exported "
+                     "artifact's program is already fixed — re-export "
+                     "from quantized variables instead")
+        return 1
+    if args.int8 and granule_paths:
+        # post-training calibration on the first granule (the serving
+        # distribution itself); the whole padded channel stack is one
+        # calibration sample — scales are per-tensor maxima, so tiling
+        # adds nothing
+        from plumekit.infer.streaming import decode_granule_channels
+        from plumekit.models.quantized_forward import quantize_unet
+
+        _name, calib, _hw = decode_granule_channels(granule_paths[0], depth)
+        variables = quantize_unet(variables, unet_cfg, calib[None])
+        logger.info("int8: calibrated on %s, serving the s8 forward",
+                    os.path.basename(granule_paths[0]))
+
     # streaming pipeline (config 5): decode+stage granule i+1 while granule i
     # runs on device
     from plumekit.infer.streaming import stream_inference
@@ -786,6 +817,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--plot", action="store_true")
     pr.add_argument("--fused", action="store_true",
                     help="Pallas fused conv+BN+ReLU forward (deep levels)")
+    pr.add_argument("--int8", action="store_true",
+                    help="int8 post-training-quantized forward (weights + "
+                         "activations on the MXU s8 path, 2x the bf16 "
+                         "rate on v5e); calibrated on the first granule. "
+                         "See models/quantized_forward.py")
     pr.add_argument("--batch-granules", type=int, default=2,
                     help="granules per dispatched program (same-shape "
                          "groups vmapped; the per-program dispatch tax "
@@ -870,6 +906,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # honor JAX_PLATFORMS even where a sitecustomize force-registers a
+    # PJRT plugin (the env var alone loses to programmatic registration;
+    # jax.config wins) — JAX_PLATFORMS=cpu must mean CPU, not a ~25-min
+    # hang on an unreachable tunneled backend
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

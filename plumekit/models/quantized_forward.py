@@ -1,0 +1,318 @@
+"""Int8 post-training-quantized U-Net inference (weights AND activations).
+
+The reference promises production plume segmentation but ships no model
+(``src/models/`` is empty — reference ``README.md:41-45``); plumekit's
+serving path adds the standard deployment lever the TPU hardware offers:
+the v5e MXU runs s8×s8→s32 at twice its bf16 rate, so a fully int8
+forward raises the compute ceiling of the dispatch-amortised inference
+program (BASELINE.md round 3: 230 MPix/s/chip compute-bound at bf16).
+
+Scheme — symmetric int8, the scale algebra chosen so every tensor is
+rounded exactly once:
+
+* **Activations**: per-tensor symmetric scales, calibrated offline as
+  ``amax/127`` over a calibration batch run through the fp32 replay
+  (:func:`calibrate_unet`). ReLU outputs and the raw input quantize at
+  their own recorded range; SAME-padding zeros are exact (0 ↔ 0).
+* **Weights**: per-OUTPUT-channel symmetric int8 — with each input
+  channel's activation scale folded into the weight column *first*
+  (``W'[..,c,o] = W[..,c,o]·s_x[c]``). Folding input scales into weights
+  is what makes concatenations free: the decoder's ``concat([skip, up])``
+  halves keep their own scales and the conv weight slices absorb them, so
+  neither half is ever re-quantized (no double rounding anywhere).
+* **BatchNorm** folds into the per-channel dequant multiplier: one fused
+  elementwise ``relu(acc·a + b)`` carries conv-scale × BN-scale and the
+  BN shift; XLA fuses it into the convolution epilogue.
+* **Max-pool** runs directly on int8 (monotone — pooling then scaling
+  equals scaling then pooling), so encoder levels hand pooled int8
+  straight to the next conv with no round trip.
+* The 1×1 ``head`` stays fp32 (negligible FLOPs, full logit precision).
+
+Accuracy contract: tested against the fp32 forward as a *mask* parity
+bound on trained weights (see ``tests/test_quantized_forward.py``) — the
+measured mask-flip rate sits in the same band as the documented stitching
+seam cost (docs/performance.md), i.e. int8 is not the dominant error
+source of the serving pipeline.
+
+Usage::
+
+    qvars = quantize_unet(variables, cfg, calib_batch)
+    apply = make_quantized_apply(cfg)          # (qvars, tiles) -> logits
+    infer = make_sliding_infer(apply, icfg)    # drop-in apply_fn
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from plumekit.config.train import UNetConfig
+from plumekit.models.pallas.fused_conv import fold_batchnorm
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _check_cfg(cfg: UNetConfig) -> None:
+    if cfg.arch != "unet":
+        raise ValueError(
+            f"int8 quantized forward supports arch='unet' only, got "
+            f"{cfg.arch!r} (UNet++ has per-column heads; quantize support "
+            "would need its dense-skip scale graph)")
+    if cfg.norm != "batch":
+        raise ValueError("int8 quantized forward requires norm='batch' "
+                         "(BN folds into the dequant multiplier)")
+
+
+def _amax(x) -> jnp.ndarray:
+    return jnp.maximum(jnp.abs(x).max(), 1e-8).astype(jnp.float32)
+
+
+def _quant_act(x, scale):
+    """fp → symmetric int8 at per-tensor ``scale`` (value ≈ q·scale)."""
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _quant_weight(w, in_scales):
+    """Per-output-channel int8 with input activation scales folded in.
+
+    ``w`` (kh, kw, cin, cout) fp32; ``in_scales`` (cin,). Returns
+    ``(wq int8, sw (cout,) fp32)`` with
+    ``conv_fp(x, w) ≈ conv_s8(xq, wq) · sw`` for ``x ≈ xq·s_x``."""
+    wp = w.astype(jnp.float32) * in_scales[None, None, :, None]
+    sw = jnp.maximum(jnp.abs(wp).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wp / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def _qconv(xq, wq):
+    """SAME 3×3 (or 1×1) s8×s8→s32 conv — lowers onto the MXU int8 path."""
+    return lax.conv_general_dilated(
+        xq, wq, (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+
+
+def _max_pool2_q(xq):
+    b, h, w, c = xq.shape
+    return xq.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def _upsample_q(xq, kq, sw, bias):
+    """2×2 stride-2 transposed conv in int8: one s8 einsum + pixel shuffle
+    (the fused_forward matmul formulation; kernel pre-flipped at quantize
+    time so the hot path is a single contraction)."""
+    b, h, w, _cin = xq.shape
+    cout = kq.shape[-1]
+    acc = jnp.einsum("bhwc,ijco->bhwijo", xq, kq,
+                     preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sw + bias
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+
+
+def _folded_block(params, stats):
+    """(w1, a_bn1, b1, w2, a_bn2, b2) for one DoubleConv — fp32, BN folded."""
+    out = []
+    for j in (0, 1):
+        bn_p = params[f"_Norm_{j}"]["BatchNorm_0"]
+        bn_s = stats[f"_Norm_{j}"]["BatchNorm_0"]
+        scale, shift = fold_batchnorm(bn_p["scale"], bn_p["bias"],
+                                      bn_s["mean"], bn_s["var"])
+        out.append((params[f"Conv_{j}"]["kernel"].astype(jnp.float32),
+                    scale.astype(jnp.float32), shift.astype(jnp.float32)))
+    return out
+
+
+def calibrate_unet(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
+    """Record per-tensor |max| at every quantization point by replaying the
+    BN-folded fp32 forward on ``calib`` (B, H, W, C), H/W divisible by
+    ``2**cfg.depth``. Returns ``{name: amax}`` with names:
+
+    * ``in`` — the raw input;
+    * ``b{i}_mid`` — block *i*'s first ReLU output (second conv's input);
+    * ``b{i}_out`` — block *i*'s output, for every block except the last
+      decoder block (whose output feeds the fp32 head). One scale per
+      encoder output serves BOTH its consumers (pool→next block and the
+      decoder concat), so the tensor is quantized once;
+    * ``up{u}`` — transposed-conv *u*'s output (the concat's second half).
+    """
+    _check_cfg(cfg)
+    params, stats = variables["params"], variables["batch_stats"]
+    depth = cfg.depth
+    amax: Dict[str, Any] = {}
+
+    def conv_bn_relu(x, w, a, b):
+        y = lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.float32)
+        return jnp.maximum(y * a + b, 0.0)
+
+    x = jnp.asarray(calib, jnp.float32)
+    amax["in"] = _amax(x)
+    skips: List[Any] = []
+    idx = 0
+    for _ in range(depth):
+        (w1, a1, b1), (w2, a2, b2) = _folded_block(
+            params[f"DoubleConv_{idx}"], stats[f"DoubleConv_{idx}"])
+        x = conv_bn_relu(x, w1, a1, b1)
+        amax[f"b{idx}_mid"] = _amax(x)
+        x = conv_bn_relu(x, w2, a2, b2)
+        amax[f"b{idx}_out"] = _amax(x)
+        skips.append(x)
+        b_, h, w_, c = x.shape
+        x = x.reshape(b_, h // 2, 2, w_ // 2, 2, c).max(axis=(2, 4))
+        idx += 1
+    (w1, a1, b1), (w2, a2, b2) = _folded_block(
+        params[f"DoubleConv_{idx}"], stats[f"DoubleConv_{idx}"])
+    x = conv_bn_relu(x, w1, a1, b1)
+    amax[f"b{idx}_mid"] = _amax(x)
+    x = conv_bn_relu(x, w2, a2, b2)
+    amax[f"b{idx}_out"] = _amax(x)
+    idx += 1
+
+    for u, skip in enumerate(reversed(skips)):
+        ct = params[f"ConvTranspose_{u}"]
+        k = ct["kernel"].astype(jnp.float32)
+        b_, h, w_, _ = x.shape
+        cout = k.shape[-1]
+        y = jnp.einsum("bhwc,ijco->bhwijo", x, k[::-1, ::-1])
+        x = (y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w_, cout)
+             + ct["bias"].astype(jnp.float32))
+        amax[f"up{u}"] = _amax(x)
+        x = jnp.concatenate([skip, x], axis=-1)
+        (w1, a1, b1), (w2, a2, b2) = _folded_block(
+            params[f"DoubleConv_{idx}"], stats[f"DoubleConv_{idx}"])
+        x = conv_bn_relu(x, w1, a1, b1)
+        amax[f"b{idx}_mid"] = _amax(x)
+        x = conv_bn_relu(x, w2, a2, b2)
+        if idx != 2 * depth:  # last decoder output stays fp32 for the head
+            amax[f"b{idx}_out"] = _amax(x)
+        idx += 1
+    return amax
+
+
+def quantize_unet(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
+    """Build the int8 serving variables from trained fp32 ``variables``
+    (params + batch_stats, the exact tree :class:`plumekit.models.UNet`
+    produces) and a calibration batch. Pure preprocessing — runs once,
+    off the serving hot path."""
+    _check_cfg(cfg)
+    amax = calibrate_unet(variables, cfg, calib)
+    s = {k: v / 127.0 for k, v in amax.items()}
+    params, stats = variables["params"], variables["batch_stats"]
+    depth = cfg.depth
+
+    def cin_of(w):
+        return w.shape[2]
+
+    blocks = []
+    idx = 0
+    in_name = "in"
+    for _ in range(depth + 1):  # encoder levels + bottleneck
+        (w1, a1, b1), (w2, a2, b2) = _folded_block(
+            params[f"DoubleConv_{idx}"], stats[f"DoubleConv_{idx}"])
+        s_in = s[in_name] * jnp.ones((cin_of(w1),), jnp.float32)
+        wq1, sw1 = _quant_weight(w1, s_in)
+        s_mid = s[f"b{idx}_mid"] * jnp.ones((cin_of(w2),), jnp.float32)
+        wq2, sw2 = _quant_weight(w2, s_mid)
+        blocks.append({
+            "wq1": wq1, "a1": sw1 * a1, "b1": b1,
+            "s_mid": s[f"b{idx}_mid"],
+            "wq2": wq2, "a2": sw2 * a2, "b2": b2,
+            "s_out": s[f"b{idx}_out"],
+        })
+        in_name = f"b{idx}_out"
+        idx += 1
+
+    ups = []
+    for u in range(depth):
+        ct = params[f"ConvTranspose_{u}"]
+        k = ct["kernel"].astype(jnp.float32)[::-1, ::-1]  # pre-flip
+        src = f"b{depth}_out" if u == 0 else f"b{depth + u}_out"
+        s_in = s[src] * jnp.ones((k.shape[2],), jnp.float32)
+        kq, sw = _quant_weight(k, s_in)
+        ups.append({"kq": kq, "sw": sw,
+                    "bias": ct["bias"].astype(jnp.float32),
+                    "s_up": s[f"up{u}"]})
+
+        # decoder block u = DoubleConv_{depth+1+u}: conv1 input is
+        # concat([skip (enc level depth-1-u), up u]) — each half keeps its
+        # own scale, folded into the matching weight slice
+        blk = f"DoubleConv_{depth + 1 + u}"
+        (w1, a1, b1), (w2, a2, b2) = _folded_block(params[blk], stats[blk])
+        c_skip = params[f"DoubleConv_{depth - 1 - u}"]["Conv_1"][
+            "kernel"].shape[-1]
+        c_up = k.shape[-1]
+        s_cat = jnp.concatenate([
+            s[f"b{depth - 1 - u}_out"] * jnp.ones((c_skip,), jnp.float32),
+            s[f"up{u}"] * jnp.ones((c_up,), jnp.float32)])
+        wq1, sw1 = _quant_weight(w1, s_cat)
+        s_mid = (s[f"b{depth + 1 + u}_mid"]
+                 * jnp.ones((cin_of(w2),), jnp.float32))
+        wq2, sw2 = _quant_weight(w2, s_mid)
+        last = (depth + 1 + u) == 2 * depth
+        blocks.append({
+            "wq1": wq1, "a1": sw1 * a1, "b1": b1,
+            "s_mid": s[f"b{depth + 1 + u}_mid"],
+            "wq2": wq2, "a2": sw2 * a2, "b2": b2,
+            # the last decoder output feeds the fp32 head un-quantized
+            "s_out": None if last else s[f"b{depth + 1 + u}_out"],
+        })
+
+    head = params["head"]
+    return {
+        "s_in": s["in"],
+        "blocks": blocks,
+        "ups": ups,
+        "head": {"kernel": head["kernel"].astype(jnp.float32),
+                 "bias": head["bias"].astype(jnp.float32)},
+    }
+
+
+def make_quantized_apply(cfg: UNetConfig):
+    """Returns ``apply(qvars, x, train=False) -> logits (B, H, W, out)`` —
+    the int8 twin of ``UNet.apply``, drop-in as ``make_sliding_infer``'s
+    ``apply_fn``. Every conv and transposed conv contracts in s8×s8→s32;
+    the only fp32 work is the fused dequant+BN+ReLU epilogues and the 1×1
+    head."""
+    _check_cfg(cfg)
+    depth = cfg.depth
+
+    def qblock(xq, blk):
+        y = _qconv(xq, blk["wq1"]).astype(jnp.float32)
+        y = jnp.maximum(y * blk["a1"] + blk["b1"], 0.0)
+        mq = _quant_act(y, blk["s_mid"])
+        y = _qconv(mq, blk["wq2"]).astype(jnp.float32)
+        y = jnp.maximum(y * blk["a2"] + blk["b2"], 0.0)
+        return y
+
+    def apply(qvars, x, train: bool = False):
+        if train:
+            raise ValueError("int8 quantized forward is inference-only")
+        xq = _quant_act(x.astype(jnp.float32), qvars["s_in"])
+        skips = []
+        for i in range(depth):
+            blk = qvars["blocks"][i]
+            y = qblock(xq, blk)
+            oq = _quant_act(y, blk["s_out"])
+            skips.append(oq)
+            xq = _max_pool2_q(oq)
+        blk = qvars["blocks"][depth]
+        y = qblock(xq, blk)
+        xq = _quant_act(y, blk["s_out"])
+
+        for u, skip in enumerate(reversed(skips)):
+            up = qvars["ups"][u]
+            y = _upsample_q(xq, up["kq"], up["sw"], up["bias"])
+            uq = _quant_act(y, up["s_up"])
+            blk = qvars["blocks"][depth + 1 + u]
+            y = qblock(jnp.concatenate([skip, uq], axis=-1), blk)
+            if blk["s_out"] is not None:
+                xq = _quant_act(y, blk["s_out"])
+        head = qvars["head"]
+        logits = (jnp.einsum("bhwc,co->bhwo", y, head["kernel"][0, 0])
+                  + head["bias"])
+        return logits
+
+    return apply

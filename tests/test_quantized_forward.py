@@ -1,0 +1,165 @@
+"""Int8 post-training-quantized inference vs the fp32 forward.
+
+Contract (models/quantized_forward.py): on trained weights the int8
+forward's MASK disagrees with fp32 in the same band as the documented
+stitching seam cost (docs/performance.md, ~0.1% flips) — quantization must
+not become the serving pipeline's dominant error source."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
+from plumekit.models import UNet
+from plumekit.models.quantized_forward import (
+    calibrate_unet,
+    make_quantized_apply,
+    quantize_unet,
+)
+
+CFG = UNetConfig(in_channels=2, base_features=8, depth=2,
+                 compute_dtype="float32")
+
+
+def _init_variables(cfg, key=0, shape=(2, 32, 32, 2)):
+    model = UNet(cfg)
+    x = jnp.zeros(shape, jnp.float32)
+    v = model.init(jax.random.PRNGKey(key), x, train=False)
+    # nontrivial running stats so BN folding is exercised
+    return jax.tree.map(
+        lambda a: a + 0.03 * jnp.arange(a.size, dtype=a.dtype).reshape(
+            a.shape) if a.ndim == 1 else a, v)
+
+
+def _trained_variables(cfg, steps=40):
+    """Quickly fit mask = channel0 > 0.5 so logits are decisive (random
+    weights hover at the threshold and any rounding flips masks — not the
+    serving regime quantization targets)."""
+    from plumekit.train import create_state, make_train_step
+
+    state = create_state(jax.random.PRNGKey(0), cfg,
+                         TrainConfig(batch_size=4, tile_size=32,
+                                     warmup_steps=5, learning_rate=3e-3))
+    step = make_train_step(dice_weight=0.5, augment=False)
+    rng = np.random.default_rng(0)
+    xs = rng.random((4, 32, 32, 2)).astype(np.float32)
+    ys = (xs[..., :1] > 0.5).astype(np.float32)
+    for i in range(steps):
+        state, metrics = step(state, jnp.asarray(xs), jnp.asarray(ys),
+                              jax.random.PRNGKey(i))
+    assert float(metrics["iou"]) > 0.6
+    return ({"params": state.params, "batch_stats": state.batch_stats},
+            xs, ys)
+
+
+def test_quantized_logits_track_fp32():
+    variables = _init_variables(CFG)
+    rng = np.random.default_rng(1)
+    calib = jnp.asarray(rng.random((4, 32, 32, 2), np.float32))
+    x = jnp.asarray(rng.random((2, 32, 32, 2), np.float32))
+
+    ref = np.asarray(UNet(CFG).apply(variables, x, train=False)).ravel()
+    qvars = quantize_unet(variables, CFG, calib)
+    got = np.asarray(make_quantized_apply(CFG)(qvars, x)).ravel()
+
+    assert np.corrcoef(got, ref)[0, 1] > 0.99
+    span = ref.max() - ref.min()
+    assert np.abs(got - ref).max() < 0.15 * span, (
+        np.abs(got - ref).max(), span)
+
+
+def test_quantized_mask_parity_on_trained_model():
+    variables, xs, ys = _trained_variables(CFG)
+    x = jnp.asarray(xs)
+    ref_logits = UNet(CFG).apply(variables, x, train=False)
+    qvars = quantize_unet(variables, CFG, calib=x)
+    q_logits = make_quantized_apply(CFG)(qvars, x)
+
+    ref_mask = np.asarray(ref_logits) > 0.0
+    q_mask = np.asarray(q_logits) > 0.0
+    flip = (ref_mask != q_mask).mean()
+    assert flip < 5e-3, f"mask flip rate {flip:.4%}"
+
+    # and quantization costs (essentially) no task quality vs fp32
+    def task_iou(mask):
+        gt = ys[..., 0] > 0.5
+        m = mask[..., 0]
+        return (m & gt).sum() / max(1, (m | gt).sum())
+
+    assert task_iou(q_mask) >= task_iou(ref_mask) - 0.01
+
+
+def test_quantized_weights_are_int8_and_once_rounded():
+    """Every conv/transposed-conv weight ships as int8; activation scales
+    are scalars; the last decoder output stays un-quantized (fp head)."""
+    variables = _init_variables(CFG)
+    calib = jnp.asarray(np.random.default_rng(2).random((2, 32, 32, 2),
+                                                        np.float32))
+    qvars = quantize_unet(variables, CFG, calib)
+    for blk in qvars["blocks"]:
+        assert blk["wq1"].dtype == jnp.int8 and blk["wq2"].dtype == jnp.int8
+    for up in qvars["ups"]:
+        assert up["kq"].dtype == jnp.int8
+    assert qvars["blocks"][-1]["s_out"] is None
+    assert qvars["head"]["kernel"].dtype == jnp.float32
+    amax = calibrate_unet(variables, CFG, calib)
+    # one scale per encoder output serves both consumers (pool + concat)
+    assert "b0_out" in amax and "b1_out" in amax and "up0" in amax
+
+
+def test_quantized_apply_under_sliding_infer():
+    """Drop-in apply_fn: the int8 forward slots into make_sliding_infer and
+    the stitched masks match the fp32 pipeline's."""
+    from plumekit.infer import make_sliding_infer
+
+    variables, _xs, _ys = _trained_variables(CFG)
+    rng = np.random.default_rng(3)
+    image = rng.random((96, 96, 2)).astype(np.float32)
+    icfg = InferConfig(tile_size=32, overlap=8, batch_tiles=4)
+
+    ref_infer = make_sliding_infer(UNet(CFG).apply, icfg, channels=2)
+    ref_probs, ref_mask = ref_infer(variables, jnp.asarray(image))
+
+    calib = jnp.asarray(image[None, :32, :32, :])
+    qvars = quantize_unet(variables, CFG, calib)
+    q_infer = make_sliding_infer(make_quantized_apply(CFG), icfg, channels=2)
+    q_probs, q_mask = q_infer(qvars, jnp.asarray(image))
+
+    assert q_probs.shape == ref_probs.shape
+    flip = (np.asarray(ref_mask) != np.asarray(q_mask)).mean()
+    assert flip < 1e-2, f"stitched mask flip rate {flip:.4%}"
+
+
+def test_predict_cli_int8(tmp_path):
+    """predict_model --int8 end-to-end: calibrates on the first granule and
+    writes valid probability NPZs through the streaming pipeline."""
+    from plumekit.cli import main
+
+    root = str(tmp_path)
+    assert main(["make_dataset", "--root", root, "--n-granules", "2",
+                 "--size", "128", "--plumes", "2"]) == 0
+    assert main(["predict_model", "--root", root, "--tile", "64",
+                 "--int8"]) == 0
+    preds = sorted((tmp_path / "processed/predictions").glob("*_pred.npz"))
+    assert len(preds) == 2
+    probs = np.load(preds[0])["probs"]
+    assert probs.shape == (128, 128)
+    assert np.isfinite(probs).all() and 0.0 <= probs.min() <= probs.max() <= 1.0
+
+    # exclusive-flag guards
+    assert main(["predict_model", "--root", root, "--tile", "64",
+                 "--int8", "--fused"]) == 1
+
+
+def test_quantized_guards():
+    with pytest.raises(ValueError, match="unet"):
+        make_quantized_apply(UNetConfig(arch="unetpp"))
+    with pytest.raises(ValueError, match="batch"):
+        make_quantized_apply(UNetConfig(norm="group"))
+    variables = _init_variables(CFG)
+    calib = jnp.zeros((1, 32, 32, 2), jnp.float32)
+    qvars = quantize_unet(variables, CFG, calib)
+    with pytest.raises(ValueError, match="inference-only"):
+        make_quantized_apply(CFG)(qvars, calib, train=True)
