@@ -495,11 +495,16 @@ def cmd_predict_model(args) -> int:
         for f in sorted(os.listdir(maiac_dir))
         if f.endswith(GRANULE_EXTENSIONS)
     ]
-    if args.int8 and getattr(args, "exported", None):
-        logger.error("--int8 quantizes the live model; an exported "
-                     "artifact's program is already fixed — re-export "
-                     "from quantized variables instead")
-        return 1
+    if getattr(args, "exported", None):
+        exported_forward = meta.get("forward", "flax")
+        if args.int8 and exported_forward != "int8":
+            logger.error("--int8 passed but %s was exported with the fp "
+                         "forward; re-export with export_model --int8",
+                         args.exported)
+            return 1
+        # an int8 artifact self-configures: its variables argument is the
+        # quantized serving tree, built below from the restored checkpoint
+        args.int8 = exported_forward == "int8"
     if args.int8 and granule_paths:
         # post-training calibration on the first granule (the serving
         # distribution itself); the whole padded channel stack is one
@@ -554,11 +559,17 @@ def cmd_export_model(args) -> int:
                     h, w)
     icfg = InferConfig(tile_size=args.tile, overlap=args.overlap,
                        batch_tiles=args.batch_tiles)
-    exported, meta = export_sliding_infer(
-        variables, unet_cfg, icfg, (h, w),
-        granules=args.batch_granules,
-        platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
-    )
+    try:
+        exported, meta = export_sliding_infer(
+            variables, unet_cfg, icfg, (h, w),
+            granules=args.batch_granules,
+            platforms=[p.strip() for p in args.platforms.split(",")
+                       if p.strip()],
+            forward="int8" if args.int8 else "flax",
+        )
+    except ValueError as e:
+        logger.error("export failed: %s", e)
+        return 1
     out = args.out or os.path.join(args.root, PathsConfig().model_dir,
                                    "exported")
     save_exported(exported, meta, out)
@@ -853,6 +864,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "optimum on the tunneled v5e)")
     ex.add_argument("--tile", type=int, default=288)
     ex.add_argument("--overlap", type=int, default=32)
+    ex.add_argument("--int8", action="store_true",
+                    help="export the int8 post-training-quantized program "
+                         "(models/quantized_forward); the serving host "
+                         "quantizes each restored checkpoint at load time, "
+                         "so the artifact stays checkpoint-agnostic")
     ex.add_argument("--batch-tiles", type=int, default=64)
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets (export once, "

@@ -46,6 +46,7 @@ def export_sliding_infer(
     granule_hw: Tuple[int, int],
     granules: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    forward: str = "flax",
 ):
     """Lower the full inference program for a fixed granule geometry.
 
@@ -56,6 +57,13 @@ def export_sliding_infer(
     (BASELINE.md round 3: the headline 230 MPix/s shape). ``platforms``
     defaults to a multi-platform artifact: export once on any host, serve
     on TPU or CPU.
+
+    ``forward="int8"`` exports the post-training-quantized program
+    (:mod:`plumekit.models.quantized_forward`): its variables argument is
+    the int8 serving tree (``quantize_unet`` output), so the serving host
+    quantizes each restored checkpoint at load time — the artifact stays
+    checkpoint-agnostic exactly like the fp path. Recorded in
+    ``meta["forward"]`` so ``predict_model --exported`` self-configures.
 
     Returns ``(jax.export.Exported, meta dict)``.
     """
@@ -73,14 +81,30 @@ def export_sliding_infer(
             f"granule shape {granule_hw} must be divisible by 2**depth "
             f"({div}); pad with plumekit.infer.sliding.pad_to_multiple")
 
-    model = build_model(unet_cfg)
+    if forward == "int8":
+        from plumekit.models.quantized_forward import (make_quantized_apply,
+                                                       quantize_unet)
+
+        # only the qvars tree STRUCTURE enters the export (shapes/dtypes);
+        # a unit-range dummy batch gives well-defined scale values that the
+        # serving host replaces with its own calibrated tree
+        calib = np.random.default_rng(0).random(
+            (1, infer_cfg.tile_size, infer_cfg.tile_size,
+             unet_cfg.in_channels)).astype(np.float32)
+        variables = quantize_unet(variables, unet_cfg, calib)
+        apply_fn = make_quantized_apply(unet_cfg)
+    elif forward == "flax":
+        apply_fn = build_model(unet_cfg).apply
+    else:
+        raise ValueError(f"forward must be 'flax' or 'int8', got {forward!r}")
+
     if granules > 1:
-        fn = make_multi_granule_infer(model.apply, infer_cfg,
+        fn = make_multi_granule_infer(apply_fn, infer_cfg,
                                       channels=unet_cfg.in_channels)
         image_spec = jax.ShapeDtypeStruct(
             (granules, h, w, unet_cfg.in_channels), np.float32)
     else:
-        fn = make_sliding_infer(model.apply, infer_cfg,
+        fn = make_sliding_infer(apply_fn, infer_cfg,
                                 channels=unet_cfg.in_channels)
         image_spec = jax.ShapeDtypeStruct((h, w, unet_cfg.in_channels),
                                           np.float32)
@@ -92,6 +116,7 @@ def export_sliding_infer(
         var_specs, image_spec)
 
     meta = {
+        "forward": forward,
         "format_version": FORMAT_VERSION,
         "granule_hw": [int(h), int(w)],
         "granules": int(granules),

@@ -153,6 +153,63 @@ def test_predict_cli_int8(tmp_path):
                  "--int8", "--fused"]) == 1
 
 
+def test_cli_export_int8_then_predict(tmp_path):
+    """export_model --int8 → predict_model --exported: the artifact
+    self-describes as int8 (meta), the serving side quantizes the restored
+    checkpoint at load, and outputs match the live --int8 predict."""
+    import os
+
+    from plumekit.cli import main as cli_main
+    from plumekit.config.paths import PathsConfig
+    from plumekit.io.granule import Granule, save_granule
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    mdir = paths.ensure("maiac_dir")
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        aod = rng.random((96, 96)).astype(np.float32)
+        g = Granule(name=f"s{i}", lat=np.zeros((96, 96)),
+                    lon=np.zeros((96, 96)), layers={"t0": aod})
+        save_granule(os.path.join(mdir, f"s{i}.npz"), g)
+
+    art = str(tmp_path / "artifact")
+    assert cli_main(["export_model", "--root", root, "--granule", "96",
+                     "--batch-granules", "2", "--tile", "64",
+                     "--overlap", "32", "--batch-tiles", "4",
+                     "--platforms", "cpu", "--out", art]) == 0
+    import json
+
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["forward"] == "flax"
+    # fp artifact + --int8 must refuse (program expects the fp tree)
+    assert cli_main(["predict_model", "--root", root, "--exported", art,
+                     "--int8"]) == 1
+
+    art8 = str(tmp_path / "artifact_int8")
+    assert cli_main(["export_model", "--root", root, "--granule", "96",
+                     "--batch-granules", "2", "--tile", "64",
+                     "--overlap", "32", "--batch-tiles", "4", "--int8",
+                     "--platforms", "cpu", "--out", art8]) == 0
+    assert json.load(open(os.path.join(art8, "meta.json")))["forward"] \
+        == "int8"
+
+    pred_dir = os.path.join(root, "processed", "predictions")
+    assert cli_main(["predict_model", "--root", root, "--tile", "64",
+                     "--int8"]) == 0
+    live = {f: np.load(os.path.join(pred_dir, f))["probs"]
+            for f in sorted(os.listdir(pred_dir)) if f.endswith(".npz")}
+    for f in os.listdir(pred_dir):
+        os.remove(os.path.join(pred_dir, f))
+    assert cli_main(["predict_model", "--root", root,
+                     "--exported", art8]) == 0
+    served = {f: np.load(os.path.join(pred_dir, f))["probs"]
+              for f in sorted(os.listdir(pred_dir)) if f.endswith(".npz")}
+    assert set(served) == set(live) == {"s0_pred.npz", "s1_pred.npz"}
+    for f in live:
+        np.testing.assert_allclose(served[f], live[f], atol=1e-6)
+
+
 def test_quantized_guards():
     with pytest.raises(ValueError, match="unet"):
         make_quantized_apply(UNetConfig(arch="unetpp"))
