@@ -210,6 +210,34 @@ def test_cli_export_int8_then_predict(tmp_path):
         np.testing.assert_allclose(served[f], live[f], atol=1e-6)
 
 
+def test_quantized_sharded_batch_infer_matches_unsharded():
+    """config-5 composition: the int8 forward under make_batch_infer_sharded
+    (granule stack sharded over the 8-device mesh, qvars replicated) is
+    bit-identical to the single-device int8 path — int8 inference scales
+    over the pod axis like the fp path does."""
+    from plumekit.config.train import MeshConfig
+    from plumekit.infer.sliding import (make_batch_infer_sharded,
+                                        make_sliding_infer)
+    from plumekit.parallel import make_mesh
+
+    variables = _init_variables(CFG)
+    rng = np.random.default_rng(7)
+    calib = jnp.asarray(rng.random((2, 32, 32, 2), np.float32))
+    qvars = quantize_unet(variables, CFG, calib)
+    images = jnp.asarray(rng.random((8, 64, 64, 2), np.float32))
+    icfg = InferConfig(tile_size=32, overlap=8, batch_tiles=4)
+    apply_fn = make_quantized_apply(CFG)
+
+    single = make_sliding_infer(apply_fn, icfg, channels=2)
+    ref = np.stack([np.asarray(single(qvars, im)[0]) for im in images])
+
+    mesh = make_mesh(MeshConfig(data=8))
+    sharded = make_batch_infer_sharded(apply_fn, mesh, icfg, channels=2)
+    probs, masks = sharded(qvars, images)
+    np.testing.assert_array_equal(np.asarray(probs), ref)
+    assert masks.shape == (8, 64, 64)
+
+
 def test_quantized_guards():
     with pytest.raises(ValueError, match="unet"):
         make_quantized_apply(UNetConfig(arch="unetpp"))
