@@ -70,6 +70,12 @@ def bench_tpu() -> float:
     # channels but the current layer-by-layer integration loses it back to
     # pad/crop traffic between kernels (fused double-conv kernel keeping the
     # flattened layout across taps is the round-2 lever; see BASELINE.md).
+    if (os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1"
+            and os.environ.get("PLUMEKIT_BENCH_INT8", "0") == "1"):
+        raise RuntimeError(
+            "PLUMEKIT_BENCH_FUSED and PLUMEKIT_BENCH_INT8 are mutually "
+            "exclusive forward paths — unset one (a stale FUSED=1 would "
+            "silently mislabel the int8 capture)")
     if os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1":
         # Pallas fused conv+BN+ReLU at the deep levels (see
         # plumekit/models/pallas/fused_conv.py), XLA elsewhere

@@ -33,6 +33,17 @@ p.add_argument("--dev", type=int, default=8)
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
+if not args.cpu:
+    # bounded subprocess probe before committing this process to backend
+    # init: a dead tunnel otherwise blocks ~25 min and caches the failure
+    # (CLAUDE.md round-3 rule; same discipline as bench.py)
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _probe_backend
+
+    _probe_backend()
+
 import jax
 
 if args.cpu:

@@ -504,19 +504,51 @@ def cmd_predict_model(args) -> int:
             return 1
         # an int8 artifact self-configures: its variables argument is the
         # quantized serving tree, built below from the restored checkpoint
+        # — with the ARTIFACT's tile size driving the calibration grid, so
+        # serving an artifact is deterministic regardless of --tile
         args.int8 = exported_forward == "int8"
+        if args.int8:
+            args.tile = int(meta["tile_size"])
+    predecoded = None
     if args.int8 and granule_paths:
-        # post-training calibration on the first granule (the serving
-        # distribution itself); the whole padded channel stack is one
-        # calibration sample — scales are per-tensor maxima, so tiling
-        # adds nothing
+        # post-training calibration on the first NON-DEGENERATE granule of
+        # the serving distribution. Calibration replays the fp forward
+        # eagerly, so it runs on a grid of tiles, not the whole granule
+        # (a swath-scale granule's full-resolution fp32 activations would
+        # not fit HBM even though the tiled inference itself does), and the
+        # decoded granule is handed to the stream so it isn't decoded twice.
         from plumekit.infer.streaming import decode_granule_channels
         from plumekit.models.quantized_forward import quantize_unet
 
-        _name, calib, _hw = decode_granule_channels(granule_paths[0], depth)
-        variables = quantize_unet(variables, unet_cfg, calib[None])
-        logger.info("int8: calibrated on %s, serving the s8 forward",
-                    os.path.basename(granule_paths[0]))
+        predecoded, chosen, calib = {}, None, None
+        for path in granule_paths[:4]:
+            cand = decode_granule_channels(path, depth)
+            predecoded[path] = cand  # every decode is reused by the stream
+            if float(np.abs(cand[1]).max()) > 1e-3:
+                chosen, calib = path, cand[1]
+                break
+            # an all-null (ocean/cloud) granule would collapse every
+            # activation scale to ~0 and clip all later real signal to
+            # ±127 — silently garbage masks. Skip it for calibration;
+            # it still gets predicted like any other granule.
+            logger.warning("int8: %s is all-null — not usable for "
+                           "calibration, trying the next granule",
+                           os.path.basename(path))
+        if chosen is None:
+            logger.error("int8: no granule with signal among the first %d "
+                         "of %d — refusing to serve with degenerate "
+                         "calibration scales",
+                         min(4, len(granule_paths)), len(granule_paths))
+            return 1
+        h, w = calib.shape[:2]
+        div = 2 ** unet_cfg.depth
+        t = max(div, min(args.tile - args.tile % div, h, w))
+        ys = sorted({int(v) for v in np.linspace(0, h - t, 3)})
+        xs = sorted({int(v) for v in np.linspace(0, w - t, 3)})
+        tiles = np.stack([calib[y:y + t, x:x + t] for y in ys for x in xs])
+        variables = quantize_unet(variables, unet_cfg, tiles)
+        logger.info("int8: calibrated on %d %d² tiles of %s, serving the "
+                    "s8 forward", len(tiles), t, os.path.basename(chosen))
 
     # streaming pipeline (config 5): decode+stage granule i+1 while granule i
     # runs on device
@@ -525,7 +557,7 @@ def cmd_predict_model(args) -> int:
     for name, probs in stream_inference(
         granule_paths, infer, variables, depth,
         quantize=args.quantize, batch_granules=batch_granules,
-        infer_is_batched=infer_is_batched,
+        infer_is_batched=infer_is_batched, predecoded=predecoded,
     ):
         out = os.path.join(out_dir, name + "_pred.npz")
         np.savez_compressed(out, probs=probs, mask=probs > 0.5)

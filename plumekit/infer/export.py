@@ -35,8 +35,14 @@ logger = get_logger(__name__)
 
 _PROGRAM = "program.stablehlo"
 _META = "meta.json"
-#: exported artifact format version (bump on meta/layout changes)
-FORMAT_VERSION = 1
+#: highest artifact format version this reader supports. fp artifacts
+#: stay at 1 (older readers keep accepting them); int8 artifacts write 2
+#: because meta["forward"] CHANGES THE CALLING CONVENTION (the variables
+#: argument is the quantized serving tree) — a pre-int8 reader that
+#: ignored the key would feed fp params into the program and die on an
+#: opaque pytree mismatch; the version gate turns that into the designed
+#: "upgrade plumekit" error
+FORMAT_VERSION = 2
 
 
 def export_sliding_infer(
@@ -117,7 +123,7 @@ def export_sliding_infer(
 
     meta = {
         "forward": forward,
-        "format_version": FORMAT_VERSION,
+        "format_version": 2 if forward == "int8" else 1,
         "granule_hw": [int(h), int(w)],
         "granules": int(granules),
         "in_channels": int(unet_cfg.in_channels),

@@ -46,19 +46,30 @@ def granule_channel_stream(
     depth: int,
     fire_locator: Optional[Callable[[Granule], Tuple[list, list]]] = None,
     decode_workers: int = 1,
+    predecoded: Optional[dict] = None,
 ) -> Iterator[Tuple[str, np.ndarray, Tuple[int, int]]]:
     """Stream of decoded granules; with ``decode_workers > 1`` decodes run
-    on a thread pool with ordered delivery (config 5's host decode pool)."""
+    on a thread pool with ordered delivery (config 5's host decode pool).
+
+    ``predecoded`` maps a path to its already-decoded
+    ``(name, channels, hw)`` tuple — a caller that had to decode a granule
+    anyway (int8 calibration) hands it in instead of paying the decode
+    twice. Entries are consumed (popped) on first use."""
+    def decode(p):
+        if predecoded and p in predecoded:
+            return predecoded.pop(p)
+        return decode_granule_channels(p, depth, fire_locator)
+
     if decode_workers > 1:
         yield from decode_pool(
             paths,
-            lambda p: decode_granule_channels(p, depth, fire_locator),
+            decode,
             workers=decode_workers,
             depth=decode_workers + 1,
         )
         return
     for path in paths:
-        yield decode_granule_channels(path, depth, fire_locator)
+        yield decode(path)
 
 
 # shared affine codecs (also used by the quantized training-transfer path)
@@ -77,6 +88,7 @@ def stream_inference(
     quantize: bool = False,
     batch_granules: int = 1,
     infer_is_batched: bool = False,
+    predecoded: Optional[dict] = None,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
     stream: a ``decode_workers``-thread pool decodes granules in parallel
@@ -105,7 +117,11 @@ def stream_inference(
     directly). Groups are then fed whole — no vmap wrapping, which a
     fixed-shape exported program could not accept — and a ragged tail is
     padded by repeating its last granule (the duplicate outputs are
-    dropped), since the program's leading dim is baked in."""
+    dropped), since the program's leading dim is baked in.
+
+    ``predecoded`` (path → decoded tuple) lets a caller that already
+    decoded some granules (int8 calibration) feed them in without a second
+    decode — see :func:`granule_channel_stream`."""
     if infer_is_batched and batch_granules < 2:
         raise ValueError(
             "infer_is_batched requires batch_granules >= 2 (the program's "
@@ -128,7 +144,8 @@ def stream_inference(
 
     stream = device_prefetch(
         granule_channel_stream(paths, depth, fire_locator,
-                               decode_workers=decode_workers),
+                               decode_workers=decode_workers,
+                               predecoded=predecoded),
         buffer_size=buffer_size,
         device_put=put,
     )

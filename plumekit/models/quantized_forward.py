@@ -136,6 +136,12 @@ def calibrate_unet(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
       encoder output serves BOTH its consumers (pool→next block and the
       decoder concat), so the tensor is quantized once;
     * ``up{u}`` — transposed-conv *u*'s output (the concat's second half).
+
+    NOTE: the replay is eager and materializes full-resolution fp32
+    activations of every level, so calibrate on a BATCH OF TILES, not a
+    whole large granule — scales are per-tensor maxima, so a tile grid
+    covering the granule records the same ranges at a fraction of the
+    memory (the predict CLI samples a 3×3 tile grid).
     """
     _check_cfg(cfg)
     params, stats = variables["params"], variables["batch_stats"]
@@ -229,7 +235,7 @@ def quantize_unet(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
     for u in range(depth):
         ct = params[f"ConvTranspose_{u}"]
         k = ct["kernel"].astype(jnp.float32)[::-1, ::-1]  # pre-flip
-        src = f"b{depth}_out" if u == 0 else f"b{depth + u}_out"
+        src = f"b{depth + u}_out"  # u=0 reads the bottleneck output
         s_in = s[src] * jnp.ones((k.shape[2],), jnp.float32)
         kq, sw = _quant_weight(k, s_in)
         ups.append({"kq": kq, "sw": sw,

@@ -238,6 +238,44 @@ def test_quantized_sharded_batch_infer_matches_unsharded():
     assert masks.shape == (8, 64, 64)
 
 
+def test_predict_cli_int8_skips_all_null_calibration_granule(tmp_path):
+    """An all-null first granule must not collapse the calibration scales:
+    the CLI skips it (warning), calibrates on the next granule with
+    signal, and still predicts BOTH granules; with no usable granule at
+    all it refuses instead of serving garbage."""
+    import os
+
+    from plumekit.cli import main as cli_main
+    from plumekit.config.paths import PathsConfig
+    from plumekit.io.granule import NULL_VALUE, Granule, save_granule
+
+    root = str(tmp_path)
+    mdir = PathsConfig(root=root).ensure("maiac_dir")
+    shape = (96, 96)
+    null = np.full(shape, NULL_VALUE, np.float32)
+    save_granule(os.path.join(mdir, "a_null.npz"),
+                 Granule(name="a_null", lat=np.zeros(shape),
+                         lon=np.zeros(shape), layers={"t0": null}))
+    real = np.random.default_rng(9).random(shape).astype(np.float32)
+    save_granule(os.path.join(mdir, "b_real.npz"),
+                 Granule(name="b_real", lat=np.zeros(shape),
+                         lon=np.zeros(shape), layers={"t0": real}))
+
+    assert cli_main(["predict_model", "--root", root, "--tile", "64",
+                     "--int8"]) == 0
+    pred_dir = tmp_path / "processed/predictions"
+    assert {p.name for p in pred_dir.glob("*_pred.npz")} == \
+        {"a_null_pred.npz", "b_real_pred.npz"}
+
+    # all granules null → refuse
+    for f in pred_dir.glob("*"):
+        f.unlink()
+    os.remove(os.path.join(mdir, "b_real.npz"))
+    assert cli_main(["predict_model", "--root", root, "--tile", "64",
+                     "--int8"]) == 1
+    assert not list(pred_dir.glob("*_pred.npz"))
+
+
 def test_quantized_guards():
     with pytest.raises(ValueError, match="unet"):
         make_quantized_apply(UNetConfig(arch="unetpp"))
