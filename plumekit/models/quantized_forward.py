@@ -1,4 +1,5 @@
-"""Int8 post-training-quantized U-Net inference (weights AND activations).
+"""Int8 post-training-quantized inference (weights AND activations) for
+both architecture families — U-Net and UNet++ (incl. deep supervision).
 
 The reference promises production plume segmentation but ships no model
 (``src/models/`` is empty — reference ``README.md:41-45``); plumekit's
@@ -56,11 +57,10 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _check_cfg(cfg: UNetConfig) -> None:
-    if cfg.arch != "unet":
+    if cfg.arch not in ("unet", "unetpp"):
         raise ValueError(
-            f"int8 quantized forward supports arch='unet' only, got "
-            f"{cfg.arch!r} (UNet++ has per-column heads; quantize support "
-            "would need its dense-skip scale graph)")
+            f"int8 quantized forward supports arch 'unet' or 'unetpp', "
+            f"got {cfg.arch!r}")
     if cfg.norm != "batch":
         raise ValueError("int8 quantized forward requires norm='batch' "
                          "(BN folds into the dequant multiplier)")
@@ -111,6 +111,25 @@ def _upsample_q(xq, kq, sw, bias):
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
 
 
+def _conv_bn_relu(x, w, a, b):
+    """fp32 oracle tap used by the calibration replays."""
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32)
+    return jnp.maximum(y * a + b, 0.0)
+
+
+def _qblock(xq, blk):
+    """Int8 DoubleConv: qconv → fused dequant+BN+ReLU → requant → qconv →
+    fused epilogue. Returns the fp32 block output (callers requant at the
+    block's own output scale, or feed it to an fp head)."""
+    y = _qconv(xq, blk["wq1"]).astype(jnp.float32)
+    y = jnp.maximum(y * blk["a1"] + blk["b1"], 0.0)
+    mq = _quant_act(y, blk["s_mid"])
+    y = _qconv(mq, blk["wq2"]).astype(jnp.float32)
+    return jnp.maximum(y * blk["a2"] + blk["b2"], 0.0)
+
+
 def _folded_block(params, stats):
     """(w1, a_bn1, b1, w2, a_bn2, b2) for one DoubleConv — fp32, BN folded."""
     out = []
@@ -144,15 +163,13 @@ def calibrate_unet(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
     memory (the predict CLI samples a 3×3 tile grid).
     """
     _check_cfg(cfg)
+    if cfg.arch == "unetpp":
+        return _calibrate_unetpp(variables, cfg, calib)
     params, stats = variables["params"], variables["batch_stats"]
     depth = cfg.depth
     amax: Dict[str, Any] = {}
 
-    def conv_bn_relu(x, w, a, b):
-        y = lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=_DN,
-            preferred_element_type=jnp.float32)
-        return jnp.maximum(y * a + b, 0.0)
+    conv_bn_relu = _conv_bn_relu
 
     x = jnp.asarray(calib, jnp.float32)
     amax["in"] = _amax(x)
@@ -204,6 +221,8 @@ def quantize_unet(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
     produces) and a calibration batch. Pure preprocessing — runs once,
     off the serving hot path."""
     _check_cfg(cfg)
+    if cfg.arch == "unetpp":
+        return _quantize_unetpp(variables, cfg, calib)
     amax = calibrate_unet(variables, cfg, calib)
     s = {k: v / 127.0 for k, v in amax.items()}
     params, stats = variables["params"], variables["batch_stats"]
@@ -283,15 +302,11 @@ def make_quantized_apply(cfg: UNetConfig):
     the only fp32 work is the fused dequant+BN+ReLU epilogues and the 1×1
     head."""
     _check_cfg(cfg)
+    if cfg.arch == "unetpp":
+        return _make_unetpp_apply(cfg)
     depth = cfg.depth
 
-    def qblock(xq, blk):
-        y = _qconv(xq, blk["wq1"]).astype(jnp.float32)
-        y = jnp.maximum(y * blk["a1"] + blk["b1"], 0.0)
-        mq = _quant_act(y, blk["s_mid"])
-        y = _qconv(mq, blk["wq2"]).astype(jnp.float32)
-        y = jnp.maximum(y * blk["a2"] + blk["b2"], 0.0)
-        return y
+    qblock = _qblock
 
     def apply(qvars, x, train: bool = False):
         if train:
@@ -320,5 +335,170 @@ def make_quantized_apply(cfg: UNetConfig):
         logits = (jnp.einsum("bhwc,co->bhwo", y, head["kernel"][0, 0])
                   + head["bias"])
         return logits
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# UNet++ (models/unetpp.py): same scale algebra over the nested dense grid.
+# Node X[i][j] (scale 1/2^i, fusion column j) consumes
+# concat(X[i][0..j-1], up(X[i+1][j-1])) — every concat participant keeps
+# its OWN per-tensor scale and the conv-1 weight slices absorb them, so the
+# multi-way concats quantize exactly once, like the U-Net's two-way ones.
+# Tensor names: "in", "x{i}_{j}_mid", "x{i}_{j}_out", "up{i}_{j}". Heads
+# stay fp32 and read the PRE-quantization block outputs (matching flax,
+# where heads cast the node itself); only X[0][depth] is head-only, so it
+# never quantizes its output.
+# ---------------------------------------------------------------------------
+
+
+def _calibrate_unetpp(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
+    params, stats = variables["params"], variables["batch_stats"]
+    depth = cfg.depth
+    amax: Dict[str, Any] = {}
+
+    x = jnp.asarray(calib, jnp.float32)
+    amax["in"] = _amax(x)
+
+    grid = {}
+    h = x
+    for i in range(depth + 1):
+        if i:
+            b_, hh, ww, c = h.shape
+            h = h.reshape(b_, hh // 2, 2, ww // 2, 2, c).max(axis=(2, 4))
+        name = f"x_{i}_0"
+        (w1, a1, b1), (w2, a2, b2) = _folded_block(params[name],
+                                                   stats[name])
+        h = _conv_bn_relu(h, w1, a1, b1)
+        amax[f"x{i}_0_mid"] = _amax(h)
+        h = _conv_bn_relu(h, w2, a2, b2)
+        if (i, 0) != (0, depth):
+            amax[f"x{i}_0_out"] = _amax(h)
+        grid[(i, 0)] = h
+
+    for j in range(1, depth + 1):
+        for i in range(depth + 1 - j):
+            ct = params[f"up_{i}_{j}"]
+            k = ct["kernel"].astype(jnp.float32)
+            src = grid[(i + 1, j - 1)]
+            b_, hh, ww, _ = src.shape
+            cout = k.shape[-1]
+            y = jnp.einsum("bhwc,ijco->bhwijo", src, k[::-1, ::-1])
+            up = (y.transpose(0, 1, 3, 2, 4, 5)
+                  .reshape(b_, 2 * hh, 2 * ww, cout)
+                  + ct["bias"].astype(jnp.float32))
+            amax[f"up{i}_{j}"] = _amax(up)
+            cat = jnp.concatenate(
+                [grid[(i, k_)] for k_ in range(j)] + [up], axis=-1)
+            name = f"x_{i}_{j}"
+            (w1, a1, b1), (w2, a2, b2) = _folded_block(params[name],
+                                                       stats[name])
+            h = _conv_bn_relu(cat, w1, a1, b1)
+            amax[f"x{i}_{j}_mid"] = _amax(h)
+            h = _conv_bn_relu(h, w2, a2, b2)
+            if (i, j) != (0, depth):
+                amax[f"x{i}_{j}_out"] = _amax(h)
+            grid[(i, j)] = h
+    return amax
+
+
+def _quantize_unetpp(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
+    amax = _calibrate_unetpp(variables, cfg, calib)
+    s = {k: v / 127.0 for k, v in amax.items()}
+    params, stats = variables["params"], variables["batch_stats"]
+    depth = cfg.depth
+
+    def quant_block(name, in_scales):
+        (w1, a1, b1), (w2, a2, b2) = _folded_block(params[name],
+                                                   stats[name])
+        wq1, sw1 = _quant_weight(w1, in_scales)
+        i, j = name.split("_")[1:]
+        s_mid = s[f"x{i}_{j}_mid"] * jnp.ones((w2.shape[2],), jnp.float32)
+        wq2, sw2 = _quant_weight(w2, s_mid)
+        last = (int(i), int(j)) == (0, depth)
+        return {"wq1": wq1, "a1": sw1 * a1, "b1": b1,
+                "s_mid": s[f"x{i}_{j}_mid"],
+                "wq2": wq2, "a2": sw2 * a2, "b2": b2,
+                "s_out": None if last else s[f"x{i}_{j}_out"]}
+
+    feats = [cfg.base_features * (1 << i) for i in range(depth + 1)]
+    blocks: Dict[str, Any] = {}
+    ups: Dict[str, Any] = {}
+    for i in range(depth + 1):
+        s_in = (s["in"] if i == 0 else s[f"x{i - 1}_0_out"])
+        cin = cfg.in_channels if i == 0 else feats[i - 1]
+        blocks[f"x{i}_0"] = quant_block(
+            f"x_{i}_0", s_in * jnp.ones((cin,), jnp.float32))
+    for j in range(1, depth + 1):
+        for i in range(depth + 1 - j):
+            ct = params[f"up_{i}_{j}"]
+            k = ct["kernel"].astype(jnp.float32)[::-1, ::-1]  # pre-flip
+            s_src = s[f"x{i + 1}_{j - 1}_out"]
+            kq, sw = _quant_weight(
+                k, s_src * jnp.ones((k.shape[2],), jnp.float32))
+            ups[f"up{i}_{j}"] = {
+                "kq": kq, "sw": sw,
+                "bias": ct["bias"].astype(jnp.float32),
+                "s_up": s[f"up{i}_{j}"]}
+            s_cat = jnp.concatenate(
+                [s[f"x{i}_{k_}_out"] * jnp.ones((feats[i],), jnp.float32)
+                 for k_ in range(j)]
+                + [s[f"up{i}_{j}"] * jnp.ones((feats[i],), jnp.float32)])
+            blocks[f"x{i}_{j}"] = quant_block(f"x_{i}_{j}", s_cat)
+
+    heads = {}
+    if cfg.deep_supervision:
+        for j in range(1, depth + 1):
+            hp = params[f"head_{j}"]
+            heads[f"head_{j}"] = {
+                "kernel": hp["kernel"].astype(jnp.float32),
+                "bias": hp["bias"].astype(jnp.float32)}
+    else:
+        hp = params["head"]
+        heads["head"] = {"kernel": hp["kernel"].astype(jnp.float32),
+                         "bias": hp["bias"].astype(jnp.float32)}
+    return {"s_in": s["in"], "blocks": blocks, "ups": ups, "heads": heads}
+
+
+def _make_unetpp_apply(cfg: UNetConfig):
+    depth = cfg.depth
+
+    def head(y, hp):
+        return (jnp.einsum("bhwc,co->bhwo", y, hp["kernel"][0, 0])
+                + hp["bias"])
+
+    def apply(qvars, x, train: bool = False):
+        if train:
+            raise ValueError("int8 quantized forward is inference-only")
+        xq = _quant_act(x.astype(jnp.float32), qvars["s_in"])
+        gridq = {}
+        top_fp = {}
+        h = xq
+        for i in range(depth + 1):
+            if i:
+                h = _max_pool2_q(gridq[(i - 1, 0)])
+            blk = qvars["blocks"][f"x{i}_0"]
+            y = _qblock(h, blk)
+            if blk["s_out"] is not None:
+                gridq[(i, 0)] = _quant_act(y, blk["s_out"])
+        for j in range(1, depth + 1):
+            for i in range(depth + 1 - j):
+                up = qvars["ups"][f"up{i}_{j}"]
+                y = _upsample_q(gridq[(i + 1, j - 1)], up["kq"], up["sw"],
+                                up["bias"])
+                uq = _quant_act(y, up["s_up"])
+                blk = qvars["blocks"][f"x{i}_{j}"]
+                catq = jnp.concatenate(
+                    [gridq[(i, k_)] for k_ in range(j)] + [uq], axis=-1)
+                y = _qblock(catq, blk)
+                if blk["s_out"] is not None:
+                    gridq[(i, j)] = _quant_act(y, blk["s_out"])
+                if i == 0:
+                    top_fp[j] = y
+        if cfg.deep_supervision:
+            outs = [head(top_fp[j], qvars["heads"][f"head_{j}"])
+                    for j in range(1, depth + 1)]
+            return sum(outs) / len(outs)
+        return head(top_fp[depth], qvars["heads"]["head"])
 
     return apply

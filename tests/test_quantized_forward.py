@@ -276,9 +276,56 @@ def test_predict_cli_int8_skips_all_null_calibration_granule(tmp_path):
     assert not list(pred_dir.glob("*_pred.npz"))
 
 
+@pytest.mark.parametrize("deep", [False, True])
+def test_quantized_unetpp_tracks_fp32(deep):
+    """The UNet++ int8 scale graph (multi-way dense concats, each
+    participant keeping its own scale; per-column side heads reading the
+    pre-quantization fp outputs) tracks the flax forward like the U-Net
+    path does — with and without deep supervision."""
+    from plumekit.models import build_model
+
+    cfg = UNetConfig(arch="unetpp", in_channels=2, base_features=8,
+                     depth=2, compute_dtype="float32",
+                     deep_supervision=deep)
+    model = build_model(cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 32, 32, 2), np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    variables = jax.tree.map(
+        lambda a: a + 0.03 * jnp.arange(a.size, dtype=a.dtype).reshape(
+            a.shape) if a.ndim == 1 else a, variables)
+
+    ref = np.asarray(model.apply(variables, x, train=False)).ravel()
+    qvars = quantize_unet(variables, cfg, x)
+    got = np.asarray(make_quantized_apply(cfg)(qvars, x)).ravel()
+    assert np.corrcoef(got, ref)[0, 1] > 0.99
+    span = ref.max() - ref.min()
+    assert np.abs(got - ref).max() < 0.15 * span, (
+        np.abs(got - ref).max(), span)
+
+
+def test_quantized_unetpp_mask_parity_trained():
+    """Trained UNet++ (the measured quality pick): int8 serving keeps the
+    masks and the task IoU."""
+    cfg = UNetConfig(arch="unetpp", in_channels=2, base_features=8,
+                     depth=2, compute_dtype="float32",
+                     deep_supervision=True)
+    variables, xs, ys = _trained_variables(cfg)
+    from plumekit.models import build_model
+
+    x = jnp.asarray(xs)
+    ref_logits = build_model(cfg).apply(variables, x, train=False)
+    qvars = quantize_unet(variables, cfg, calib=x)
+    q_logits = make_quantized_apply(cfg)(qvars, x)
+    ref_mask = np.asarray(ref_logits) > 0.0
+    q_mask = np.asarray(q_logits) > 0.0
+    flip = (ref_mask != q_mask).mean()
+    assert flip < 5e-3, f"mask flip rate {flip:.4%}"
+
+
 def test_quantized_guards():
-    with pytest.raises(ValueError, match="unet"):
-        make_quantized_apply(UNetConfig(arch="unetpp"))
+    with pytest.raises(ValueError, match="arch"):
+        make_quantized_apply(UNetConfig(arch="nonsense"))
     with pytest.raises(ValueError, match="batch"):
         make_quantized_apply(UNetConfig(norm="group"))
     variables = _init_variables(CFG)
