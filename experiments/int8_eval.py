@@ -30,6 +30,8 @@ p.add_argument("--tile", type=int, default=128)
 p.add_argument("--base", type=int, default=16)
 p.add_argument("--depth", type=int, default=3)
 p.add_argument("--dev", type=int, default=8)
+p.add_argument("--arch", choices=["unet", "unetpp"], default="unet")
+p.add_argument("--deep-supervision", action="store_true")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -58,7 +60,7 @@ import jax.numpy as jnp
 from plumekit.config.train import DataConfig, InferConfig, TrainConfig, UNetConfig
 from plumekit.infer import make_sliding_infer
 from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
-from plumekit.models import UNet
+from plumekit.models import build_model
 from plumekit.models.quantized_forward import (make_quantized_apply,
                                                quantize_unet)
 from plumekit.train.data import scene_to_sample
@@ -76,7 +78,9 @@ dev_scenes = [make_scene(SyntheticSceneConfig(
     size=args.size, seed=77000 + i, **SCENE)) for i in range(args.dev)]
 dev = [scene_to_sample(s) for s in dev_scenes]
 
-unet_cfg = UNetConfig(base_features=args.base, depth=args.depth)
+unet_cfg = UNetConfig(base_features=args.base, depth=args.depth,
+                      arch=args.arch,
+                      deep_supervision=args.deep_supervision)
 ckpt_dir = "/tmp/int8_eval_ckpt"
 import shutil
 
@@ -101,7 +105,8 @@ print(f"serving checkpoint step {latest_step(ckpt_dir)}")
 variables = {"params": state.params, "batch_stats": state.batch_stats}
 
 icfg = InferConfig(tile_size=args.tile, overlap=32, batch_tiles=16)
-fp_infer = make_sliding_infer(UNet(unet_cfg).apply, icfg, channels=2)
+fp_infer = make_sliding_infer(build_model(unet_cfg).apply, icfg,
+                              channels=2)
 qvars = quantize_unet(variables, unet_cfg,
                       jnp.asarray(train_set[0].channels[None]))
 q_infer = make_sliding_infer(make_quantized_apply(unet_cfg), icfg,
@@ -129,6 +134,7 @@ q8 = np.mean([r["int8_iou"] for r in rows])
 flip = np.mean([r["flip"] for r in rows])
 out = {"granules": args.granules, "size": args.size,
        "steps": args.steps, "base": args.base, "depth": args.depth,
+       "arch": args.arch, "deep_supervision": args.deep_supervision,
        "best_tile_dev_iou": round(hist["best_dev_iou"][0], 4),
        "fp32_dev_iou": round(float(fp), 4),
        "int8_dev_iou": round(float(q8), 4),
