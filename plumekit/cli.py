@@ -431,18 +431,21 @@ def _restore_variables(args):
     return unet_cfg, variables
 
 
-def cmd_predict_model(args) -> int:
-    """Sliding-window inference over granules → plume-probability NPZs."""
-    from plumekit.config.train import InferConfig
-    from plumekit.io.granule import (GRANULE_EXTENSIONS, load_granule,
-                                     NULL_VALUE)
-    from plumekit.models import build_model
+class _CliError(Exception):
+    """Usage/config error: message is logged, command exits 1."""
 
-    paths = PathsConfig(root=args.root)
-    unet_cfg, variables = _restore_variables(args)
 
-    batch_granules = args.batch_granules
-    infer_is_batched = False
+def _build_serving(args, unet_cfg, variables):
+    """Build the inference program shared by predict_model and serve.
+
+    Returns ``(infer, depth, batch_granules, infer_is_batched, use_int8,
+    calib_tile)`` with the int8 decision and calibration tile size RESOLVED
+    against an exported artifact's metadata when ``--exported`` is given
+    (an int8 artifact self-configures: the artifact's recorded tile size
+    drives the calibration grid so serving it is deterministic regardless
+    of ``--tile``). Raises :class:`_CliError` on invalid flag combinations.
+    """
+    use_int8, calib_tile = args.int8, args.tile
     if getattr(args, "exported", None):
         # AOT-exported serving artifact (plumekit.infer.export): the whole
         # inference program is deserialized StableHLO — no model re-trace
@@ -454,101 +457,163 @@ def cmd_predict_model(args) -> int:
         infer_is_batched = batch_granules > 1
         logger.info("serving exported program %s (granule %s, G=%d)",
                     args.exported, tuple(meta["granule_hw"]), batch_granules)
+        exported_forward = meta.get("forward", "flax")
+        if args.int8 and exported_forward != "int8":
+            raise _CliError(
+                f"--int8 passed but {args.exported} was exported with the "
+                f"fp forward; re-export with export_model --int8")
+        use_int8 = exported_forward == "int8"
+        if use_int8:
+            calib_tile = int(meta["tile_size"])
+        return (infer, depth, batch_granules, infer_is_batched, use_int8,
+                calib_tile)
+
+    from plumekit.config.train import InferConfig
+    from plumekit.infer import make_sliding_infer
+    from plumekit.models import build_model
+
+    model = build_model(unet_cfg)
+    if args.fused and args.int8:
+        raise _CliError("--fused and --int8 are mutually exclusive "
+                        "forward paths")
+    if args.fused:
+        if unet_cfg.arch != "unet":
+            raise _CliError("--fused (Pallas forward) supports the unet "
+                            f"architecture only; checkpoint is "
+                            f"{unet_cfg.arch}")
+        from plumekit.models.fused_forward import make_fused_apply
+
+        apply_fn = make_fused_apply(unet_cfg)
+    elif args.int8:
+        try:
+            from plumekit.models.quantized_forward import (
+                make_quantized_apply)
+
+            apply_fn = make_quantized_apply(unet_cfg)
+        except ValueError as e:
+            raise _CliError(f"--int8: {e}")
     else:
-        from plumekit.infer import make_sliding_infer
+        apply_fn = model.apply
+    infer = make_sliding_infer(apply_fn,
+                               InferConfig(tile_size=args.tile,
+                                           overlap=args.overlap),
+                               channels=unet_cfg.in_channels)
+    return infer, unet_cfg.depth, args.batch_granules, False, use_int8, \
+        calib_tile
 
-        model = build_model(unet_cfg)
-        if args.fused and args.int8:
-            logger.error("--fused and --int8 are mutually exclusive "
-                         "forward paths")
-            return 1
-        if args.fused:
-            if unet_cfg.arch != "unet":
-                logger.error("--fused (Pallas forward) supports the unet "
-                             "architecture only; checkpoint is %s",
-                             unet_cfg.arch)
-                return 1
-            from plumekit.models.fused_forward import make_fused_apply
 
-            apply_fn = make_fused_apply(unet_cfg)
-        elif args.int8:
+def _int8_quantize_from_paths(granule_paths, tile, unet_cfg, variables,
+                              depth, known_null=None, max_candidates=4):
+    """Post-training calibration on the first NON-DEGENERATE granule among
+    ``granule_paths``. Calibration replays the fp forward eagerly, so it
+    runs on a 3×3 grid of tiles, not the whole granule (a swath-scale
+    granule's full-resolution fp32 activations would not fit HBM even
+    though the tiled inference itself does).
+
+    Returns ``(qvars_or_None, predecoded)``: every decode performed here is
+    handed back via ``predecoded`` so the stream never decodes twice, and
+    ``None`` means no usable granule was found among the first
+    ``max_candidates`` unchecked candidates. Granules found all-null (an
+    ocean/cloud scene would collapse every activation scale to ~0 and clip
+    all later real signal to ±127 — silently garbage masks) are recorded in
+    ``known_null`` (mutated in place when given) so a long-running caller
+    does not re-decode them every cycle; they still get predicted like any
+    other granule once calibration succeeds."""
+    from plumekit.infer.streaming import decode_granule_channels
+    from plumekit.models.quantized_forward import quantize_unet
+
+    candidates = [p for p in granule_paths
+                  if known_null is None
+                  or os.path.basename(p) not in known_null]
+    predecoded, chosen, calib = {}, None, None
+    for path in candidates[:max_candidates]:
+        cand = decode_granule_channels(path, depth)
+        predecoded[path] = cand  # every decode is reused by the stream
+        if float(np.abs(cand[1]).max()) > 1e-3:
+            chosen, calib = path, cand[1]
+            break
+        logger.warning("int8: %s is all-null — not usable for "
+                       "calibration, trying the next granule",
+                       os.path.basename(path))
+        if known_null is not None:
+            known_null.add(os.path.basename(path))
+    if chosen is None:
+        return None, predecoded
+    h, w = calib.shape[:2]
+    div = 2 ** unet_cfg.depth
+    t = max(div, min(tile - tile % div, h, w))
+    ys = sorted({int(v) for v in np.linspace(0, h - t, 3)})
+    xs = sorted({int(v) for v in np.linspace(0, w - t, 3)})
+    tiles = np.stack([calib[y:y + t, x:x + t] for y in ys for x in xs])
+    qvars = quantize_unet(variables, unet_cfg, tiles)
+    logger.info("int8: calibrated on %d %d² tiles of %s, serving the "
+                "s8 forward", len(tiles), t, os.path.basename(chosen))
+    return qvars, predecoded
+
+
+def _sweep_stale_tmps(out_dir) -> None:
+    """Remove leftover atomic-write temporaries from a crashed writer.
+    Only the writers (predict_model / serve) call this — readers never
+    delete tmps (the checkpoint-recovery discipline)."""
+    for f in os.listdir(out_dir):
+        if f.startswith(".") and ".tmp" in f and f.endswith(".npz"):
             try:
-                from plumekit.models.quantized_forward import (
-                    make_quantized_apply)
+                os.remove(os.path.join(out_dir, f))
+            except OSError:
+                pass
 
-                apply_fn = make_quantized_apply(unet_cfg)
-            except ValueError as e:
-                logger.error("--int8: %s", e)
-                return 1
-        else:
-            apply_fn = model.apply
-        infer = make_sliding_infer(apply_fn,
-                                   InferConfig(tile_size=args.tile,
-                                               overlap=args.overlap),
-                                   channels=unet_cfg.in_channels)
-        depth = unet_cfg.depth
+
+def _write_prediction(out_dir, name, probs, plot=False, granule_path=None):
+    """Atomically write ``<name>_pred.npz`` (tmp + ``os.replace`` — a crash
+    never leaves a half-written artifact that a reader, or the serve
+    worklog, would trust) and optionally the quicklook PNG."""
+    out = os.path.join(out_dir, name + "_pred.npz")
+    tmp = os.path.join(out_dir, f".{name}_pred.tmp{os.getpid()}.npz")
+    np.savez_compressed(tmp, probs=probs, mask=probs > 0.5)
+    os.replace(tmp, out)
+    logger.info("%s: %.1f%% plume pixels", out,
+                100.0 * float((probs > 0.5).mean()))
+    if plot and granule_path is not None:
+        from plumekit.io.granule import NULL_VALUE, load_granule
+        from plumekit.viz import plot_prediction
+
+        aod = load_granule(granule_path).first_layer().copy()
+        aod[aod == NULL_VALUE] = 0.0
+        plot_prediction(aod, probs, os.path.join(out_dir, name + "_pred.png"))
+    return out
+
+
+def cmd_predict_model(args) -> int:
+    """Sliding-window inference over granules → plume-probability NPZs."""
+    from plumekit.io.granule import GRANULE_EXTENSIONS
+
+    paths = PathsConfig(root=args.root)
+    unet_cfg, variables = _restore_variables(args)
+    try:
+        (infer, depth, batch_granules, infer_is_batched, use_int8,
+         calib_tile) = _build_serving(args, unet_cfg, variables)
+    except _CliError as e:
+        logger.error("%s", e)
+        return 1
 
     out_dir = paths.ensure("predictions_dir")
     maiac_dir = paths.ensure("maiac_dir")
+    _sweep_stale_tmps(out_dir)
     granule_paths = [
         os.path.join(maiac_dir, f)
         for f in sorted(os.listdir(maiac_dir))
         if f.endswith(GRANULE_EXTENSIONS)
     ]
-    if getattr(args, "exported", None):
-        exported_forward = meta.get("forward", "flax")
-        if args.int8 and exported_forward != "int8":
-            logger.error("--int8 passed but %s was exported with the fp "
-                         "forward; re-export with export_model --int8",
-                         args.exported)
-            return 1
-        # an int8 artifact self-configures: its variables argument is the
-        # quantized serving tree, built below from the restored checkpoint
-        # — with the ARTIFACT's tile size driving the calibration grid, so
-        # serving an artifact is deterministic regardless of --tile
-        args.int8 = exported_forward == "int8"
-        if args.int8:
-            args.tile = int(meta["tile_size"])
     predecoded = None
-    if args.int8 and granule_paths:
-        # post-training calibration on the first NON-DEGENERATE granule of
-        # the serving distribution. Calibration replays the fp forward
-        # eagerly, so it runs on a grid of tiles, not the whole granule
-        # (a swath-scale granule's full-resolution fp32 activations would
-        # not fit HBM even though the tiled inference itself does), and the
-        # decoded granule is handed to the stream so it isn't decoded twice.
-        from plumekit.infer.streaming import decode_granule_channels
-        from plumekit.models.quantized_forward import quantize_unet
-
-        predecoded, chosen, calib = {}, None, None
-        for path in granule_paths[:4]:
-            cand = decode_granule_channels(path, depth)
-            predecoded[path] = cand  # every decode is reused by the stream
-            if float(np.abs(cand[1]).max()) > 1e-3:
-                chosen, calib = path, cand[1]
-                break
-            # an all-null (ocean/cloud) granule would collapse every
-            # activation scale to ~0 and clip all later real signal to
-            # ±127 — silently garbage masks. Skip it for calibration;
-            # it still gets predicted like any other granule.
-            logger.warning("int8: %s is all-null — not usable for "
-                           "calibration, trying the next granule",
-                           os.path.basename(path))
-        if chosen is None:
+    if use_int8 and granule_paths:
+        variables, predecoded = _int8_quantize_from_paths(
+            granule_paths, calib_tile, unet_cfg, variables, depth)
+        if variables is None:
             logger.error("int8: no granule with signal among the first %d "
                          "of %d — refusing to serve with degenerate "
                          "calibration scales",
                          min(4, len(granule_paths)), len(granule_paths))
             return 1
-        h, w = calib.shape[:2]
-        div = 2 ** unet_cfg.depth
-        t = max(div, min(args.tile - args.tile % div, h, w))
-        ys = sorted({int(v) for v in np.linspace(0, h - t, 3)})
-        xs = sorted({int(v) for v in np.linspace(0, w - t, 3)})
-        tiles = np.stack([calib[y:y + t, x:x + t] for y in ys for x in xs])
-        variables = quantize_unet(variables, unet_cfg, tiles)
-        logger.info("int8: calibrated on %d %d² tiles of %s, serving the "
-                    "s8 forward", len(tiles), t, os.path.basename(chosen))
 
     # streaming pipeline (config 5): decode+stage granule i+1 while granule i
     # runs on device
@@ -559,19 +624,106 @@ def cmd_predict_model(args) -> int:
         quantize=args.quantize, batch_granules=batch_granules,
         infer_is_batched=infer_is_batched, predecoded=predecoded,
     ):
-        out = os.path.join(out_dir, name + "_pred.npz")
-        np.savez_compressed(out, probs=probs, mask=probs > 0.5)
-        logger.info("%s: %.1f%% plume pixels", out,
-                    100.0 * float((probs > 0.5).mean()))
-        if args.plot:
-            from plumekit.viz import plot_prediction
+        gp = next((p for p in granule_paths
+                   if os.path.splitext(os.path.basename(p))[0] == name),
+                  None) if args.plot else None
+        _write_prediction(out_dir, name, probs, plot=args.plot,
+                          granule_path=gp)
+    return 0
 
-            gp = next(p for p in granule_paths
-                      if os.path.splitext(os.path.basename(p))[0] == name)
-            aod = load_granule(gp).first_layer().copy()
-            aod[aod == NULL_VALUE] = 0.0
-            plot_prediction(aod, probs,
-                            os.path.join(out_dir, name + "_pred.png"))
+
+def cmd_serve(args) -> int:
+    """Continuous serving: watch the granule directory and predict new
+    arrivals as they land (see :mod:`plumekit.infer.serve`). The program is
+    built once; each cycle scans for granules not yet in the serve worklog,
+    runs them through the config-5 streaming pipeline, writes outputs
+    atomically, and marks them done. SIGINT/SIGTERM stop gracefully."""
+    import signal
+    import threading
+
+    from plumekit.io.granule import GRANULE_EXTENSIONS
+    from plumekit.infer.serve import serve_loop
+    from plumekit.infer.streaming import stream_inference
+    from plumekit.train.checkpoint import WorkLog
+
+    paths = PathsConfig(root=args.root)
+    unet_cfg, variables = _restore_variables(args)
+    try:
+        (infer, depth, batch_granules, infer_is_batched, use_int8,
+         calib_tile) = _build_serving(args, unet_cfg, variables)
+    except _CliError as e:
+        logger.error("%s", e)
+        return 1
+
+    out_dir = paths.ensure("predictions_dir")
+    maiac_dir = paths.ensure("maiac_dir")
+    _sweep_stale_tmps(out_dir)
+    worklog = WorkLog(os.path.join(out_dir, "served_granules.txt"))
+
+    stop = threading.Event()
+
+    def _on_signal(signum, _frame):
+        logger.info("serve: received signal %d — finishing the current "
+                    "granule, then exiting", signum)
+        stop.set()
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not the main thread (tests drive serve_loop directly)
+
+    # int8 state shared across cycles: calibrate lazily on the first
+    # granule with signal; until then every cycle defers its whole batch
+    # (serving uncalibrated would produce garbage masks). known_null
+    # remembers unusable candidates so they are not re-decoded every poll.
+    state = {"variables": None if use_int8 else variables,
+             "known_null": set(), "warned": False}
+
+    def process_batch(pending):
+        predecoded = None
+        if state["variables"] is None:
+            qvars, predecoded = _int8_quantize_from_paths(
+                pending, calib_tile, unet_cfg, variables, depth,
+                known_null=state["known_null"])
+            if qvars is None:
+                if not state["warned"]:
+                    logger.warning(
+                        "int8: no granule with signal yet among %d pending "
+                        "— deferring until a calibratable granule arrives",
+                        len(pending))
+                    state["warned"] = True
+                return 0
+            state["variables"] = qvars
+        served = 0
+        path_iter = iter(pending)
+        for name, probs in stream_inference(
+            pending, infer, state["variables"], depth,
+            quantize=args.quantize, batch_granules=batch_granules,
+            infer_is_batched=infer_is_batched, predecoded=predecoded,
+        ):
+            # ordered stream: the i-th yield is the i-th pending path
+            gpath = next(path_iter)
+            stem = os.path.splitext(os.path.basename(gpath))[0]
+            if stem != name:
+                logger.warning("serve: granule name %r differs from file "
+                               "stem %r — worklog keys by filename", name,
+                               stem)
+            _write_prediction(out_dir, name, probs, plot=args.plot,
+                              granule_path=gpath)
+            worklog.mark(os.path.basename(gpath))
+            served += 1
+            if stop.is_set():
+                break  # unserved granules stay pending for the restart
+        return served
+
+    stats = serve_loop(
+        maiac_dir, worklog, process_batch, GRANULE_EXTENSIONS,
+        poll_s=args.poll, once=args.once, idle_exit=args.idle_exit,
+        max_cycles=args.max_cycles, settle_s=args.settle, stop_event=stop,
+    )
+    logger.info("serve: exit (%s) after %d cycle(s), %d granule(s) served",
+                stats.stopped_by, stats.cycles, stats.served)
     return 0
 
 
@@ -849,36 +1001,62 @@ def build_parser() -> argparse.ArgumentParser:
                    help="unetpp only: average the per-column side heads")
     t.set_defaults(fn=cmd_train_model)
 
+    def _add_serving_args(p):
+        """Flags shared by predict_model (batch) and serve (continuous)."""
+        _add_root(p)
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--tile", type=int, default=288)
+        p.add_argument("--overlap", type=int, default=32,
+                       help="blended tile overlap; 0 = disjoint fast tiling "
+                            "(measured: ~0.07%% seam mask flips vs the "
+                            "whole-image forward, docs/performance.md)")
+        p.add_argument("--plot", action="store_true")
+        p.add_argument("--fused", action="store_true",
+                       help="Pallas fused conv+BN+ReLU forward (deep "
+                            "levels)")
+        p.add_argument("--int8", action="store_true",
+                       help="int8 post-training-quantized forward (weights "
+                            "+ activations on the MXU s8 path, 2x the bf16 "
+                            "rate on v5e); calibrated on the first granule. "
+                            "See models/quantized_forward.py")
+        p.add_argument("--batch-granules", type=int, default=2,
+                       help="granules per dispatched program (same-shape "
+                            "groups vmapped; the per-program dispatch tax "
+                            "amortises across the group — measured +71%% "
+                            "at G=2, BASELINE.md round 3; 1 = per-granule)")
+        p.add_argument("--quantize", action="store_true",
+                       help="uint16 host→HBM payloads with on-device "
+                            "dequant (halves transfer bytes; pays when the "
+                            "link, not the host, is the bottleneck)")
+        p.add_argument("--exported", default=None,
+                       help="serve an AOT-exported artifact dir (see "
+                            "export_model) instead of tracing the live "
+                            "model; granule geometry must match the export")
+
     pr = sub.add_parser("predict_model", help="sliding-window inference")
-    _add_root(pr)
-    pr.add_argument("--checkpoint", default=None)
-    pr.add_argument("--tile", type=int, default=288)
-    pr.add_argument("--overlap", type=int, default=32,
-                    help="blended tile overlap; 0 = disjoint fast tiling "
-                         "(measured: ~0.07%% seam mask flips vs the whole-"
-                         "image forward, docs/performance.md)")
-    pr.add_argument("--plot", action="store_true")
-    pr.add_argument("--fused", action="store_true",
-                    help="Pallas fused conv+BN+ReLU forward (deep levels)")
-    pr.add_argument("--int8", action="store_true",
-                    help="int8 post-training-quantized forward (weights + "
-                         "activations on the MXU s8 path, 2x the bf16 "
-                         "rate on v5e); calibrated on the first granule. "
-                         "See models/quantized_forward.py")
-    pr.add_argument("--batch-granules", type=int, default=2,
-                    help="granules per dispatched program (same-shape "
-                         "groups vmapped; the per-program dispatch tax "
-                         "amortises across the group — measured +71%% at "
-                         "G=2, BASELINE.md round 3; 1 = per-granule)")
-    pr.add_argument("--quantize", action="store_true",
-                    help="uint16 host→HBM payloads with on-device dequant "
-                         "(halves transfer bytes; pays when the link, not "
-                         "the host, is the bottleneck)")
-    pr.add_argument("--exported", default=None,
-                    help="serve an AOT-exported artifact dir (see "
-                         "export_model) instead of tracing the live model; "
-                         "granule geometry must match the export")
+    _add_serving_args(pr)
     pr.set_defaults(fn=cmd_predict_model)
+
+    sv = sub.add_parser("serve",
+                        help="continuous serving: watch the granule dir, "
+                             "predict new arrivals, resume-idempotent "
+                             "(generalises the reference's processed-file-"
+                             "log rerun loop, plume_identifier_rg.py:"
+                             "537-576)")
+    _add_serving_args(sv)
+    sv.add_argument("--poll", type=float, default=10.0,
+                    help="seconds between directory scans")
+    sv.add_argument("--once", action="store_true",
+                    help="serve the current backlog and exit (one scan)")
+    sv.add_argument("--idle-exit", type=int, default=0,
+                    help="exit after N consecutive empty scans (0 = run "
+                         "until signalled)")
+    sv.add_argument("--max-cycles", type=int, default=0,
+                    help="hard bound on scan cycles (0 = unbounded)")
+    sv.add_argument("--settle", type=float, default=2.0,
+                    help="skip files whose mtime is younger than this "
+                         "(still-uploading guard)")
+    sv.set_defaults(fn=cmd_serve)
 
     ex = sub.add_parser("export_model",
                         help="AOT-export inference to a serving artifact "

@@ -1,0 +1,210 @@
+"""Continuous serving (``plumekit serve`` / :mod:`plumekit.infer.serve`).
+
+The reference's batch drivers double as a primitive serving loop — rerun
+``main()`` and the processed-file log skips what's done
+(``plume_identifier_rg.py:537-576``). Contract under test here: worklog-
+idempotent restarts, atomic outputs, the settle guard for in-flight
+uploads, watch-mode pickup of new arrivals, and int8 deferral until a
+calibratable granule lands.
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+
+from plumekit.config.paths import PathsConfig
+from plumekit.infer.serve import scan_pending, serve_loop
+from plumekit.io.granule import Granule, save_granule
+from plumekit.train.checkpoint import WorkLog, save_model_config
+
+
+def _put_granule(mdir, name, rng=None, shape=(96, 96), zero=False):
+    aod = (np.zeros(shape, np.float32) if zero
+           else rng.random(shape).astype(np.float32))
+    g = Granule(name=name, lat=np.zeros(shape), lon=np.zeros(shape),
+                layers={"t0": aod})
+    p = os.path.join(mdir, f"{name}.npz")
+    save_granule(p, g)
+    return p
+
+
+def _small_ckpt(root):
+    """Persist a tiny architecture record so the serve CLI builds an
+    8-base/depth-2 net (untrained weights are fine for plumbing tests)."""
+    from plumekit.config.train import UNetConfig
+
+    ckpt = os.path.join(root, PathsConfig().model_dir, "checkpoints")
+    save_model_config(ckpt, UNetConfig(in_channels=2, base_features=8,
+                                       depth=2, compute_dtype="float32"))
+
+
+# ---------------------------------------------------------------- unit core
+
+
+def test_scan_pending_worklog_settle_and_extensions(tmp_path, rng):
+    mdir = str(tmp_path / "gr")
+    os.makedirs(mdir)
+    a = _put_granule(mdir, "a", rng)
+    b = _put_granule(mdir, "b", rng)
+    (tmp_path / "gr" / "notes.txt").write_text("not a granule")
+    log = WorkLog(str(tmp_path / "log.txt"))
+    old = time.time() - 60
+    os.utime(a, (old, old))
+    os.utime(b, (old, old))
+
+    got = scan_pending(mdir, log, (".npz",), settle_s=2.0)
+    assert got == [a, b]
+
+    log.mark("a.npz")
+    assert scan_pending(mdir, log, (".npz",), settle_s=2.0) == [b]
+
+    # a file still being written (fresh mtime) is deferred, then picked up
+    c = _put_granule(mdir, "c", rng)
+    assert scan_pending(mdir, log, (".npz",), settle_s=5.0) == [b]
+    os.utime(c, (old, old))
+    assert scan_pending(mdir, log, (".npz",), settle_s=5.0) == [b, c]
+
+    # a missing scan dir is an empty backlog, not a crash
+    assert scan_pending(str(tmp_path / "nope"), log, (".npz",)) == []
+
+
+def test_serve_loop_once_and_max_cycles(tmp_path, rng):
+    mdir = str(tmp_path / "gr")
+    os.makedirs(mdir)
+    for i in range(3):
+        _put_granule(mdir, f"g{i}", rng)
+    log = WorkLog(str(tmp_path / "log.txt"))
+
+    served_paths = []
+
+    def process(paths):
+        for p in paths:
+            served_paths.append(p)
+            log.mark(os.path.basename(p))
+        return len(paths)
+
+    stats = serve_loop(mdir, log, process, (".npz",), once=True,
+                       settle_s=0.0)
+    assert stats.stopped_by == "once" and stats.served == 3
+    assert len(served_paths) == 3 and stats.deferred_last_cycle == 0
+
+    # a processor that cannot serve yet defers; max_cycles bounds the loop
+    stats = serve_loop(mdir, WorkLog(str(tmp_path / "log2.txt")),
+                       lambda paths: 0, (".npz",), poll_s=0.01,
+                       max_cycles=3, settle_s=0.0)
+    assert stats.stopped_by == "max_cycles"
+    assert stats.cycles == 3 and stats.served == 0
+    assert stats.deferred_last_cycle == 3
+
+
+def test_serve_loop_idle_exit_and_stop_event(tmp_path):
+    mdir = str(tmp_path / "gr")
+    os.makedirs(mdir)
+    log = WorkLog(str(tmp_path / "log.txt"))
+    stats = serve_loop(mdir, log, lambda p: 0, (".npz",), poll_s=0.01,
+                       idle_exit=2, settle_s=0.0)
+    assert stats.stopped_by == "idle" and stats.cycles == 2
+
+    ev = threading.Event()
+    ev.set()
+    stats = serve_loop(mdir, log, lambda p: 0, (".npz",), stop_event=ev)
+    assert stats.stopped_by == "stop_event" and stats.cycles == 0
+
+
+# ----------------------------------------------------------------- CLI e2e
+
+
+def test_cli_serve_once_resume_idempotent(tmp_path, rng):
+    """serve --once drains the backlog; a re-run serves only new arrivals
+    (worklog semantics: the deleted output of a done granule is NOT
+    regenerated — exactly the reference's processed-file-log rerun)."""
+    from plumekit.cli import main as cli_main
+
+    root = str(tmp_path)
+    _small_ckpt(root)
+    paths = PathsConfig(root=root)
+    mdir = paths.ensure("maiac_dir")
+    for i in range(2):
+        _put_granule(mdir, f"s{i}", rng)
+
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64"]) == 0
+    pred_dir = os.path.join(root, "processed", "predictions")
+    preds = sorted(f for f in os.listdir(pred_dir) if f.endswith(".npz"))
+    assert preds == ["s0_pred.npz", "s1_pred.npz"]
+    log_path = os.path.join(pred_dir, "served_granules.txt")
+    assert sorted(open(log_path).read().split()) == ["s0.npz", "s1.npz"]
+    p = np.load(os.path.join(pred_dir, "s0_pred.npz"))
+    assert p["probs"].shape == (96, 96) and p["mask"].dtype == bool
+
+    # restart: only the new granule is served; a done granule is skipped
+    # even though its output was deleted (log is the source of truth)
+    os.remove(os.path.join(pred_dir, "s0_pred.npz"))
+    _put_granule(mdir, "s2", rng)
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64"]) == 0
+    preds = sorted(f for f in os.listdir(pred_dir) if f.endswith(".npz"))
+    assert preds == ["s1_pred.npz", "s2_pred.npz"]
+
+
+def test_cli_serve_watch_picks_up_new_granule(tmp_path, rng):
+    """Watch mode: a granule dropped into the directory mid-run is served
+    on a later poll cycle; idle-exit then ends the loop."""
+    from plumekit.cli import main as cli_main
+
+    root = str(tmp_path)
+    _small_ckpt(root)
+    paths = PathsConfig(root=root)
+    mdir = paths.ensure("maiac_dir")
+    _put_granule(mdir, "first", rng)
+    pred_dir = os.path.join(root, "processed", "predictions")
+
+    rc = {}
+
+    def run():
+        rc["code"] = cli_main(["serve", "--root", root, "--poll", "0.05",
+                               "--idle-exit", "40", "--settle", "0",
+                               "--tile", "64"])
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        # wait for the first granule's output, then drop a second one in
+        deadline = time.time() + 120
+        while time.time() < deadline and not os.path.exists(
+                os.path.join(pred_dir, "first_pred.npz")):
+            time.sleep(0.05)
+        assert os.path.exists(os.path.join(pred_dir, "first_pred.npz"))
+        _put_granule(mdir, "second", rng)
+        t.join(timeout=120)
+        assert not t.is_alive(), "serve loop did not idle-exit"
+    finally:
+        t.join(timeout=1)
+    assert rc["code"] == 0
+    assert os.path.exists(os.path.join(pred_dir, "second_pred.npz"))
+
+
+def test_cli_serve_int8_defers_until_calibratable(tmp_path, rng):
+    """int8 serving refuses to run on degenerate scales: an all-null
+    backlog is deferred (nothing marked done), and everything is served
+    once a granule with signal lands and calibration succeeds."""
+    from plumekit.cli import main as cli_main
+
+    root = str(tmp_path)
+    _small_ckpt(root)
+    paths = PathsConfig(root=root)
+    mdir = paths.ensure("maiac_dir")
+    _put_granule(mdir, "ocean", rng, zero=True)
+
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64", "--int8"]) == 0
+    pred_dir = os.path.join(root, "processed", "predictions")
+    assert not [f for f in os.listdir(pred_dir) if f.endswith("_pred.npz")]
+
+    _put_granule(mdir, "land", rng)
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64", "--int8"]) == 0
+    preds = sorted(f for f in os.listdir(pred_dir) if f.endswith(".npz"))
+    assert preds == ["land_pred.npz", "ocean_pred.npz"]
