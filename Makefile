@@ -26,6 +26,10 @@ train:
 predict:
 	$(PYTHON_INTERPRETER) -m plumekit.cli predict_model --root $(ROOT)
 
+## Continuous serving: watch the granule dir, predict new arrivals
+serve:
+	$(PYTHON_INTERPRETER) -m plumekit.cli serve --root $(ROOT)
+
 ## Stage plume curation artifacts for human review
 select:
 	$(PYTHON_INTERPRETER) -m plumekit.cli select --root $(ROOT)
