@@ -503,7 +503,8 @@ def _build_serving(args, unet_cfg, variables):
 
 
 def _int8_quantize_from_paths(granule_paths, tile, unet_cfg, variables,
-                              depth, known_null=None, max_candidates=4):
+                              depth, known_null=None, max_candidates=4,
+                              on_decode_error=None):
     """Post-training calibration on the first NON-DEGENERATE granule among
     ``granule_paths``. Calibration replays the fp forward eagerly, so it
     runs on a 3×3 grid of tiles, not the whole granule (a swath-scale
@@ -518,7 +519,11 @@ def _int8_quantize_from_paths(granule_paths, tile, unet_cfg, variables,
     all later real signal to ±127 — silently garbage masks) are recorded in
     ``known_null`` (mutated in place when given) so a long-running caller
     does not re-decode them every cycle; they still get predicted like any
-    other granule once calibration succeeds."""
+    other granule once calibration succeeds.
+
+    A candidate whose DECODE raises is fatal by default (batch predict
+    wants the traceback); a long-running caller passes ``on_decode_error``
+    to quarantine the granule and keep searching."""
     from plumekit.infer.streaming import decode_granule_channels
     from plumekit.models.quantized_forward import quantize_unet
 
@@ -527,7 +532,13 @@ def _int8_quantize_from_paths(granule_paths, tile, unet_cfg, variables,
                   or os.path.basename(p) not in known_null]
     predecoded, chosen, calib = {}, None, None
     for path in candidates[:max_candidates]:
-        cand = decode_granule_channels(path, depth)
+        try:
+            cand = decode_granule_channels(path, depth)
+        except Exception:
+            if on_decode_error is None:
+                raise
+            on_decode_error(path)
+            continue
         predecoded[path] = cand  # every decode is reused by the stream
         if float(np.abs(cand[1]).max()) > 1e-3:
             chosen, calib = path, cand[1]
@@ -551,12 +562,31 @@ def _int8_quantize_from_paths(granule_paths, tile, unet_cfg, variables,
     return qvars, predecoded
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 def _sweep_stale_tmps(out_dir) -> None:
-    """Remove leftover atomic-write temporaries from a crashed writer.
+    """Remove leftover atomic-write temporaries from a CRASHED writer.
     Only the writers (predict_model / serve) call this — readers never
-    delete tmps (the checkpoint-recovery discipline)."""
+    delete tmps (the checkpoint-recovery discipline) — and a tmp whose
+    embedded pid is still alive belongs to a concurrently running writer
+    (serve next to a predict_model backfill on the same root): deleting it
+    would crash that writer's os.replace and lose its prediction."""
     for f in os.listdir(out_dir):
         if f.startswith(".") and ".tmp" in f and f.endswith(".npz"):
+            try:
+                pid = int(f.rsplit(".tmp", 1)[1][:-len(".npz")])
+            except ValueError:
+                continue  # not one of ours — leave it alone
+            if _pid_alive(pid):
+                continue
             try:
                 os.remove(os.path.join(out_dir, f))
             except OSError:
@@ -642,7 +672,7 @@ def cmd_serve(args) -> int:
     import threading
 
     from plumekit.io.granule import GRANULE_EXTENSIONS
-    from plumekit.infer.serve import serve_loop
+    from plumekit.infer.serve import UnionLog, serve_loop
     from plumekit.infer.streaming import stream_inference
     from plumekit.train.checkpoint import WorkLog
 
@@ -659,6 +689,11 @@ def cmd_serve(args) -> int:
     maiac_dir = paths.ensure("maiac_dir")
     _sweep_stale_tmps(out_dir)
     worklog = WorkLog(os.path.join(out_dir, "served_granules.txt"))
+    # a granule whose decode/inference fails deterministically (corrupt
+    # upload that finished, unsupported format) is quarantined here so it
+    # cannot crash-loop the daemon; operators fix/remove the file and
+    # delete its line to retry
+    failed_log = WorkLog(os.path.join(out_dir, "failed_granules.txt"))
 
     stop = threading.Event()
 
@@ -678,31 +713,26 @@ def cmd_serve(args) -> int:
     # (serving uncalibrated would produce garbage masks). known_null
     # remembers unusable candidates so they are not re-decoded every poll.
     state = {"variables": None if use_int8 else variables,
-             "known_null": set(), "warned": False}
+             "known_null": set(), "warned": False, "failures": 0}
 
-    def process_batch(pending):
-        predecoded = None
-        if state["variables"] is None:
-            qvars, predecoded = _int8_quantize_from_paths(
-                pending, calib_tile, unet_cfg, variables, depth,
-                known_null=state["known_null"])
-            if qvars is None:
-                if not state["warned"]:
-                    logger.warning(
-                        "int8: no granule with signal yet among %d pending "
-                        "— deferring until a calibratable granule arrives",
-                        len(pending))
-                    state["warned"] = True
-                return 0
-            state["variables"] = qvars
-        served = 0
-        path_iter = iter(pending)
+    def quarantine(gpath):
+        failed_log.mark(os.path.basename(gpath))
+        state["failures"] += 1
+        logger.exception("serve: %s failed — quarantined in "
+                         "failed_granules.txt (delete its line to retry)",
+                         os.path.basename(gpath))
+
+    def serve_paths(paths_list, predecoded, served_acc):
+        """Stream a list of granules; write + mark each as it completes,
+        appending to ``served_acc`` — so granules served before a
+        mid-stream failure still count when the caller catches it."""
+        path_iter = iter(paths_list)
         for name, probs in stream_inference(
-            pending, infer, state["variables"], depth,
+            paths_list, infer, state["variables"], depth,
             quantize=args.quantize, batch_granules=batch_granules,
             infer_is_batched=infer_is_batched, predecoded=predecoded,
         ):
-            # ordered stream: the i-th yield is the i-th pending path
+            # ordered stream: the i-th yield is the i-th path
             gpath = next(path_iter)
             stem = os.path.splitext(os.path.basename(gpath))[0]
             if stem != name:
@@ -712,18 +742,56 @@ def cmd_serve(args) -> int:
             _write_prediction(out_dir, name, probs, plot=args.plot,
                               granule_path=gpath)
             worklog.mark(os.path.basename(gpath))
-            served += 1
+            served_acc.append(os.path.basename(gpath))
             if stop.is_set():
                 break  # unserved granules stay pending for the restart
-        return served
+
+    def process_batch(pending):
+        predecoded = None
+        if state["variables"] is None:
+            qvars, predecoded = _int8_quantize_from_paths(
+                pending, calib_tile, unet_cfg, variables, depth,
+                known_null=state["known_null"], on_decode_error=quarantine)
+            if qvars is None:
+                if not state["warned"]:
+                    logger.warning(
+                        "int8: no granule with signal yet among %d pending "
+                        "— deferring until a calibratable granule arrives",
+                        len(pending))
+                    state["warned"] = True
+                return 0
+            state["variables"] = qvars
+        acc = []
+        try:
+            serve_paths(pending, predecoded, acc)
+            return len(acc)
+        except Exception:
+            logger.exception("serve: batched pass failed — isolating per "
+                             "granule to locate the poison granule")
+        # per-granule isolation: everything already marked (served or
+        # quarantined) is skipped; a granule that fails alone is the
+        # culprit and gets quarantined so it cannot crash-loop the daemon
+        done = set(acc) | failed_log.items()
+        for gpath in pending:
+            if os.path.basename(gpath) in done or stop.is_set():
+                continue
+            try:
+                serve_paths([gpath], None, acc)
+            except Exception:
+                quarantine(gpath)
+        return len(acc)
 
     stats = serve_loop(
-        maiac_dir, worklog, process_batch, GRANULE_EXTENSIONS,
-        poll_s=args.poll, once=args.once, idle_exit=args.idle_exit,
-        max_cycles=args.max_cycles, settle_s=args.settle, stop_event=stop,
+        maiac_dir, UnionLog(worklog, failed_log), process_batch,
+        GRANULE_EXTENSIONS, poll_s=args.poll, once=args.once,
+        idle_exit=args.idle_exit, max_cycles=args.max_cycles,
+        settle_s=args.settle, stop_event=stop,
     )
-    logger.info("serve: exit (%s) after %d cycle(s), %d granule(s) served",
-                stats.stopped_by, stats.cycles, stats.served)
+    logger.info("serve: exit (%s) after %d cycle(s), %d granule(s) served, "
+                "%d quarantined", stats.stopped_by, stats.cycles,
+                stats.served, state["failures"])
+    if args.once and state["failures"]:
+        return 1  # batch semantics: a --once invocation reports failures
     return 0
 
 

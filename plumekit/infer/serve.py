@@ -51,9 +51,27 @@ class ServeStats:
     #: granules seen but deferred (unsettled file, or a processor that
     #: could not run yet — e.g. int8 awaiting a calibratable granule)
     deferred_last_cycle: int = 0
+    errors: int = 0            # cycles whose process_batch raised
     stopped_by: str = ""       # "once" | "idle" | "max_cycles" | "stop_event"
     _lock: threading.Lock = field(default_factory=threading.Lock,
                                   repr=False, compare=False)
+
+
+class UnionLog:
+    """Read-only union view over several :class:`WorkLog`-shaped objects —
+    serve scans against served ∪ failed without merging the files."""
+
+    def __init__(self, *logs):
+        self.logs = logs
+
+    def done(self, item: str) -> bool:
+        return any(log.done(item) for log in self.logs)
+
+    def items(self) -> set:
+        out: set = set()
+        for log in self.logs:
+            out |= log.items()
+        return out
 
 
 def scan_pending(
@@ -65,16 +83,21 @@ def scan_pending(
 ) -> List[str]:
     """Sorted paths of granules in ``scan_dir`` that are (a) not yet in the
     worklog and (b) stable on disk — mtime at least ``settle_s`` old, so a
-    file mid-upload is picked up on a later cycle instead of half-read."""
+    file mid-upload is picked up on a later cycle instead of half-read.
+
+    The worklog is snapshot once per scan (``worklog.items()``) — per-entry
+    ``done()`` calls would re-read the whole log file for every directory
+    entry, O(N²) lines per poll on a long-lived deployment."""
     if now is None:
         now = time.time()
+    done = worklog.items()
     pending = []
     try:
         names = sorted(os.listdir(scan_dir))
     except FileNotFoundError:
         return []
     for name in names:
-        if not name.endswith(extensions) or worklog.done(name):
+        if not name.endswith(extensions) or name in done:
             continue
         path = os.path.join(scan_dir, name)
         try:
@@ -122,7 +145,20 @@ def serve_loop(
         stats.cycles += 1
         if pending:
             idle = 0
-            served = process_batch(pending)
+            try:
+                served = process_batch(pending)
+            except Exception:
+                # a daemon must outlive a bad cycle (the reference's loop
+                # swallowed errors silently, SURVEY.md bug #7 — we log the
+                # traceback and keep serving). Whatever was not marked done
+                # is retried next cycle; processors quarantine granules
+                # that fail deterministically so this cannot spin on one.
+                logger.exception("serve: cycle %d failed — retrying "
+                                 "unserved granules next cycle",
+                                 stats.cycles)
+                served = 0
+                with stats._lock:
+                    stats.errors += 1
             with stats._lock:
                 stats.served += served
                 stats.deferred_last_cycle = len(pending) - served

@@ -211,6 +211,16 @@ class WorkLog:
         except OSError:
             return False
 
+    def items(self) -> set:
+        """One snapshot read of every logged item — callers scanning many
+        candidates (serve's poll loop) test set membership instead of
+        re-reading the file per candidate (O(N²) lines per scan)."""
+        try:
+            with open(self.path) as f:
+                return set(f.read().splitlines())
+        except OSError:
+            return set()
+
     def mark(self, item: str) -> None:
         with open(self.path, "a") as f:
             f.write(item + "\n")

@@ -164,8 +164,11 @@ def test_cli_serve_watch_picks_up_new_granule(tmp_path, rng):
     rc = {}
 
     def run():
+        # generous idle budget (120 x 0.05 s = 6 s): on the loaded 1-core
+        # host the main thread can lag several seconds behind the loop,
+        # and an early idle-exit would flake the pickup assertion
         rc["code"] = cli_main(["serve", "--root", root, "--poll", "0.05",
-                               "--idle-exit", "40", "--settle", "0",
+                               "--idle-exit", "120", "--settle", "0",
                                "--tile", "64"])
 
     t = threading.Thread(target=run)
@@ -184,6 +187,66 @@ def test_cli_serve_watch_picks_up_new_granule(tmp_path, rng):
         t.join(timeout=1)
     assert rc["code"] == 0
     assert os.path.exists(os.path.join(pred_dir, "second_pred.npz"))
+
+
+def test_worklog_items_snapshot(tmp_path):
+    log = WorkLog(str(tmp_path / "log.txt"))
+    assert log.items() == set()
+    log.mark("a.npz")
+    log.mark("b.npz")
+    assert log.items() == {"a.npz", "b.npz"}
+    assert log.done("a.npz") and not log.done("a")
+
+
+def test_sweep_stale_tmps_spares_live_writers(tmp_path):
+    """The startup sweep removes a crashed writer's leftovers but must not
+    delete a concurrently running writer's in-flight tmp (its os.replace
+    would crash and the prediction would be lost)."""
+    from plumekit.cli import _sweep_stale_tmps
+
+    d = str(tmp_path)
+    mine = os.path.join(d, f".x_pred.tmp{os.getpid()}.npz")   # live pid
+    dead = os.path.join(d, ".y_pred.tmp999999999.npz")        # dead pid
+    odd = os.path.join(d, ".z_pred.tmpgarbage.npz")           # not ours
+    for p in (mine, dead, odd):
+        open(p, "wb").write(b"x")
+    _sweep_stale_tmps(d)
+    assert os.path.exists(mine) and os.path.exists(odd)
+    assert not os.path.exists(dead)
+
+
+def test_cli_serve_quarantines_poison_granule(tmp_path, rng):
+    """A granule whose decode fails (corrupt completed upload) must not
+    crash-loop the daemon: the batched pass fails, per-granule isolation
+    locates it, it lands in failed_granules.txt, the good granules are
+    served, and the next cycle does not retry it."""
+    from plumekit.cli import main as cli_main
+
+    root = str(tmp_path)
+    _small_ckpt(root)
+    paths = PathsConfig(root=root)
+    mdir = paths.ensure("maiac_dir")
+    # sorts before the good granule, so the stream hits it first
+    with open(os.path.join(mdir, "a_corrupt.npz"), "wb") as f:
+        f.write(b"this is not an npz archive")
+    _put_granule(mdir, "b_good", rng)
+
+    # --once reports the failure via the exit code (batch semantics)
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64"]) == 1
+    pred_dir = os.path.join(root, "processed", "predictions")
+    preds = sorted(f for f in os.listdir(pred_dir) if f.endswith("_pred.npz"))
+    assert preds == ["b_good_pred.npz"]
+    failed = open(os.path.join(pred_dir, "failed_granules.txt")).read()
+    assert failed.split() == ["a_corrupt.npz"]
+
+    # quarantined granule is excluded from later scans: a fresh run serves
+    # only new arrivals and exits clean
+    _put_granule(mdir, "c_good", rng)
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64"]) == 0
+    preds = sorted(f for f in os.listdir(pred_dir) if f.endswith("_pred.npz"))
+    assert preds == ["b_good_pred.npz", "c_good_pred.npz"]
 
 
 def test_cli_serve_int8_defers_until_calibratable(tmp_path, rng):
