@@ -43,15 +43,23 @@ REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
 GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
 
 
+# set by main() when the TPU probe fails: the split-cache discipline
+# (CLAUDE.md) says never share the remote compiler's AOT cache with host
+# CPU compiles
+CACHE_DIR = ".jax_cache"
+
+
 def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if CACHE_DIR:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         CACHE_DIR))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
     from plumekit.infer import make_sliding_infer
@@ -228,7 +236,28 @@ def _probe_backend(attempts: int = 4, probe_timeout: int = 180,
 
 
 def main() -> int:
-    _probe_backend()
+    global GRANULE, GRANULES, BATCH_TILES, REPEATS, CACHE_DIR
+    backend_note = ""
+    try:
+        _probe_backend()
+    except RuntimeError as e:
+        # the tunneled backend can be down for hours (round-3 outage);
+        # the driver contract is ONE JSON line, so degrade to an HONEST
+        # CPU measurement rather than printing nothing — the unit string
+        # carries the caveat so the number can't be misread as a TPU rate
+        print(f"{e}\nfalling back to the CPU backend at a small geometry "
+              "so the driver still records a self-describing line",
+              file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        GRANULE, GRANULES, BATCH_TILES, REPEATS = 512, 1, 16, 1
+        # no persistent cache here: the shared CPU cache holds AOT entries
+        # whose machine features can mismatch this host (loader SIGILL
+        # warnings observed) — a fresh 512² compile is cheap and safe
+        CACHE_DIR = ""
+        backend_note = (" [CPU FALLBACK at 512^2 - TPU tunnel down; "
+                        "not comparable to TPU rounds]")
     # the tunneled backend occasionally drops a dispatch with a transient
     # FAILED_PRECONDITION (observed round 3: identical program succeeded on
     # immediate re-run) — one retry keeps a blip from zeroing the round.
@@ -253,7 +282,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "unet_sliding_window_inference",
         "value": round(value, 2),
-        "unit": "MPix/s/chip",
+        "unit": "MPix/s/chip" + backend_note,
         "vs_baseline": round(vs, 2) if vs == vs else None,
     }))
     return 0
