@@ -17,8 +17,7 @@ LOG="${1:-experiments/tpu_backlog_results.log}"
 step() {
     local name="$1"; shift
     echo "=== $name === $(date -u +%FT%TZ)" | tee -a "$LOG"
-    # shellcheck disable=SC2068
-    timeout "$STEP_TIMEOUT" $@ >> "$LOG" 2>&1
+    timeout "$STEP_TIMEOUT" "$@" >> "$LOG" 2>&1
     local rc=$?
     echo "--- $name rc=$rc" | tee -a "$LOG"
 }
