@@ -15,6 +15,16 @@ Usage: python experiments/int8_eval.py [--granules 12] [--size 256]
        [--steps 400] [--cpu]
 """
 
+import os as _os
+import sys as _sys
+
+# repo-root import shim: these scripts are run as
+# `python experiments/<name>.py`, where sys.path[0] is experiments/
+# and plumekit is not pip-installed on every host (round-3 capture
+# failed on exactly this)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -12,6 +12,16 @@ Usage: python experiments/loop_dispatch_bench.py [--steps 120]
            [--geometry 16x128] [--cpu]
 """
 
+import os as _os
+import sys as _sys
+
+# repo-root import shim: these scripts are run as
+# `python experiments/<name>.py`, where sys.path[0] is experiments/
+# and plumekit is not pip-installed on every host (round-3 capture
+# failed on exactly this)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -15,6 +15,16 @@ Usage: python experiments/quality_loop.py [--granules 60] [--size 512]
        [--steps 3000] [--cpu]
 """
 
+import os as _os
+import sys as _sys
+
+# repo-root import shim: these scripts are run as
+# `python experiments/<name>.py`, where sys.path[0] is experiments/
+# and plumekit is not pip-installed on every host (round-3 capture
+# failed on exactly this)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -6,6 +6,16 @@ plus a host→device transfer bandwidth probe (the suspected relay ceiling).
 Usage: python experiments/streaming_bench.py [--cpu] [--n 6] [--size 1152]
 """
 
+import os as _os
+import sys as _sys
+
+# repo-root import shim: these scripts are run as
+# `python experiments/<name>.py`, where sys.path[0] is experiments/
+# and plumekit is not pip-installed on every host (round-3 capture
+# failed on exactly this)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import tempfile
