@@ -56,6 +56,47 @@ from plumekit.models.pallas.fused_conv import fold_batchnorm
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+def _with_fold_vmap(raw_apply):
+    """Wrap a batch-oblivious ``apply(qvars, x) -> y`` so ``jax.vmap`` folds
+    the mapped axis into the tile-batch dim instead of batching every
+    primitive.
+
+    Measured motivation (experiments/int8_vmap_probe.py, TPU v5e): the int8
+    forward runs 517.6 MPix/s on a flat 256-tile batch but only 176.5 under
+    ``vmap`` over a granule axis — XLA's default batching of the s8 ops
+    (the int32 upsample einsum, int8 concats/requants) loses the MXU int8
+    path's 1.6×-over-bf16 win and lands BELOW bf16 (whose vmap is free,
+    315.9 both ways). ``make_multi_granule_infer`` and the sharded config-5
+    program are exactly ``vmap(sliding_infer)``, so without this rule the
+    dispatch-amortised int8 bench measured 0.55× bf16 end-to-end.
+
+    Folding is exact: the forward is per-sample, so reshaping (G, B, ...)
+    to (G·B, ...) and back is the identity on values (CPU-verified
+    bit-equal in tests/test_quantized_forward.py). The rule re-enters the
+    wrapped function so nested vmaps keep folding.
+    """
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def folded(qvars, x):
+        return raw_apply(qvars, x)
+
+    @folded.def_vmap
+    def _rule(axis_size, in_batched, qvars, x):
+        qvars_batched, x_batched = in_batched
+        if any(jax.tree_util.tree_leaves(qvars_batched)):
+            raise NotImplementedError(
+                "int8 quantized apply: vmap over the quantized variables "
+                "is not supported (serving replicates them)")
+        if not x_batched:
+            return folded(qvars, x), False
+        lead, b = x.shape[0], x.shape[1]
+        y = folded(qvars, x.reshape((lead * b,) + x.shape[2:]))
+        return y.reshape((lead, b) + y.shape[1:]), True
+
+    return folded
+
+
 def _check_cfg(cfg: UNetConfig) -> None:
     if cfg.arch not in ("unet", "unetpp"):
         raise ValueError(
@@ -308,9 +349,7 @@ def make_quantized_apply(cfg: UNetConfig):
 
     qblock = _qblock
 
-    def apply(qvars, x, train: bool = False):
-        if train:
-            raise ValueError("int8 quantized forward is inference-only")
+    def raw_apply(qvars, x):
         xq = _quant_act(x.astype(jnp.float32), qvars["s_in"])
         skips = []
         for i in range(depth):
@@ -335,6 +374,13 @@ def make_quantized_apply(cfg: UNetConfig):
         logits = (jnp.einsum("bhwc,co->bhwo", y, head["kernel"][0, 0])
                   + head["bias"])
         return logits
+
+    folded = _with_fold_vmap(raw_apply)
+
+    def apply(qvars, x, train: bool = False):
+        if train:
+            raise ValueError("int8 quantized forward is inference-only")
+        return folded(qvars, x)
 
     return apply
 
@@ -467,9 +513,7 @@ def _make_unetpp_apply(cfg: UNetConfig):
         return (jnp.einsum("bhwc,co->bhwo", y, hp["kernel"][0, 0])
                 + hp["bias"])
 
-    def apply(qvars, x, train: bool = False):
-        if train:
-            raise ValueError("int8 quantized forward is inference-only")
+    def raw_apply(qvars, x):
         xq = _quant_act(x.astype(jnp.float32), qvars["s_in"])
         gridq = {}
         top_fp = {}
@@ -500,5 +544,12 @@ def _make_unetpp_apply(cfg: UNetConfig):
                     for j in range(1, depth + 1)]
             return sum(outs) / len(outs)
         return head(top_fp[depth], qvars["heads"]["head"])
+
+    folded = _with_fold_vmap(raw_apply)
+
+    def apply(qvars, x, train: bool = False):
+        if train:
+            raise ValueError("int8 quantized forward is inference-only")
+        return folded(qvars, x)
 
     return apply

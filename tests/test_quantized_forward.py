@@ -333,3 +333,72 @@ def test_quantized_guards():
     qvars = quantize_unet(variables, CFG, calib)
     with pytest.raises(ValueError, match="inference-only"):
         make_quantized_apply(CFG)(qvars, calib, train=True)
+
+
+@pytest.mark.parametrize("arch,deep", [("unet", False), ("unetpp", True)])
+def test_quantized_vmap_folds_into_batch_exactly(arch, deep):
+    """vmap over a granule axis must equal the per-granule loop.
+
+    The quantized apply carries a custom_vmap rule that folds the mapped
+    axis into the tile batch (measured on TPU: default batching of the s8
+    ops runs 2.9x slower than the flat batch and loses to bf16 —
+    experiments/int8_vmap_probe.py). The forward is per-sample, so the
+    fold is the identity on values WITHIN one compiled program; across
+    the two separately compiled programs compared here (batch G·B vs
+    batch B) XLA may fuse the fp32 dequant epilogues into FMAs
+    differently, and a half-ulp difference at a requant boundary moves
+    one int8 step (~2e-4 observed on the UNet++ grid) — so the bound is
+    one requant LSB, not bitwise. Covers make_multi_granule_infer /
+    make_batch_infer_sharded's vmap structure.
+    """
+    if arch == "unet":
+        cfg = CFG
+        variables = _init_variables(cfg)
+    else:
+        from plumekit.models import build_model
+
+        cfg = UNetConfig(arch="unetpp", in_channels=2, base_features=8,
+                         depth=2, compute_dtype="float32",
+                         deep_supervision=deep)
+        x0 = jnp.zeros((2, 32, 32, 2), jnp.float32)
+        variables = build_model(cfg).init(jax.random.PRNGKey(1), x0,
+                                          train=False)
+        variables = jax.tree.map(
+            lambda a: a + 0.03 * jnp.arange(a.size, dtype=a.dtype).reshape(
+                a.shape) if a.ndim == 1 else a, variables)
+    rng = np.random.default_rng(7)
+    calib = jnp.asarray(rng.random((2, 32, 32, 2), np.float32))
+    qvars = quantize_unet(variables, cfg, calib)
+    apply = make_quantized_apply(cfg)
+
+    xg = jnp.asarray(rng.random((3, 2, 32, 32, 2), np.float32))
+    vm = jax.jit(jax.vmap(lambda t: apply(qvars, t)))(xg)
+    japply = jax.jit(lambda q, t: apply(q, t))
+    loop = np.stack([np.asarray(japply(qvars, xg[g])) for g in range(3)])
+    np.testing.assert_allclose(np.asarray(vm), loop, rtol=0, atol=2e-3)
+
+    # nested vmap keeps folding (rule re-enters the wrapped fn)
+    xgg = xg.reshape(3, 1, 2, 32, 32, 2)
+    vm2 = jax.jit(jax.vmap(jax.vmap(lambda t: apply(qvars, t))))(xgg)
+    np.testing.assert_allclose(np.asarray(vm2).reshape(vm.shape),
+                               np.asarray(vm), rtol=0, atol=2e-3)
+
+    # the fold really engaged: every conv in the batched program sees a
+    # flat 4-D (G·B, h, w, c) operand — default batching would leave a
+    # 5-D operand or fold G into a non-batch dim
+    def walk(jaxpr, out):
+        for e in jaxpr.eqns:
+            if str(e.primitive) == "conv_general_dilated":
+                out.append(e.invars[0].aval.shape)
+            for v in e.params.values():
+                leaves = v if isinstance(v, (list, tuple)) else [v]
+                for leaf in leaves:
+                    if hasattr(leaf, "jaxpr"):
+                        walk(leaf.jaxpr, out)
+        return out
+
+    shapes = walk(jax.make_jaxpr(
+        jax.vmap(lambda t: apply(qvars, t)))(xg).jaxpr, [])
+    assert shapes, "expected conv_general_dilated in the batched jaxpr"
+    for s in shapes:
+        assert len(s) == 4 and s[0] % 6 == 0, s
