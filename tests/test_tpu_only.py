@@ -111,3 +111,45 @@ def test_unet_megakernel_parity_on_chip(tpu):
                      np.float32)
     rel = np.abs(ref - got).max() / np.abs(ref).max()
     assert rel < 0.05, f"relative error {rel:.4f}"
+
+
+def test_int8_forward_parity_on_chip(tpu):
+    """On-chip int8 forward tracks the fp32 flax forward, and the
+    custom_vmap batch-fold (the round-3 fix for the 2.9x vmap
+    pessimization — docs/performance.md) is value-preserving on real
+    silicon: vmap over a granule axis == the flat fold to one requant LSB.
+    Guards the serving path the int8 bench default executes."""
+    import jax
+    import jax.numpy as jnp
+
+    from plumekit.config.train import TrainConfig, UNetConfig
+    from plumekit.models import UNet
+    from plumekit.models.quantized_forward import (make_quantized_apply,
+                                                   quantize_unet)
+    from plumekit.train.state import create_state
+
+    cfg = UNetConfig(in_channels=2, base_features=8, depth=2,
+                     compute_dtype="float32")
+    state = create_state(jax.random.PRNGKey(0), cfg,
+                         TrainConfig(tile_size=64))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.random((2, 64, 64, 2), np.float32))
+    qvars = quantize_unet(variables, cfg, calib)
+    apply = make_quantized_apply(cfg)
+
+    x = jnp.asarray(rng.random((2, 64, 64, 2), np.float32))
+    ref = np.asarray(UNet(cfg).apply(variables, x, train=False),
+                     np.float32).ravel()
+    got = np.asarray(jax.jit(lambda q, t: apply(q, t))(qvars, x),
+                     np.float32).ravel()
+    assert np.corrcoef(got, ref)[0, 1] > 0.99
+    span = ref.max() - ref.min()
+    assert np.abs(got - ref).max() < 0.15 * span, (
+        np.abs(got - ref).max(), span)
+
+    xg = jnp.asarray(rng.random((3, 2, 64, 64, 2), np.float32))
+    vm = np.asarray(jax.jit(jax.vmap(lambda t: apply(qvars, t)))(xg))
+    japply = jax.jit(lambda q, t: apply(q, t))
+    loop = np.stack([np.asarray(japply(qvars, xg[g])) for g in range(3)])
+    np.testing.assert_allclose(vm, loop, rtol=0, atol=2e-3)
