@@ -54,6 +54,11 @@ GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
 # forward (the round-1/2-comparable number); the metric name carries the
 # forward so rounds are never silently conflated.
 INT8 = os.environ.get("PLUMEKIT_BENCH_INT8", "1") == "1"
+# PLUMEKIT_BENCH_ARCH=unetpp[:ds] serves the UNet++ family instead (":ds"
+# adds deep supervision — the measured quality pick, BASELINE.md round-3
+# architecture ladder); the metric name carries it. The U-Net default is
+# the cross-round-comparable headline.
+ARCH = os.environ.get("PLUMEKIT_BENCH_ARCH", "unet")
 
 
 # set by main() when the TPU probe fails: the split-cache discipline
@@ -76,17 +81,21 @@ def bench_tpu() -> float:
 
     from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
     from plumekit.infer import make_sliding_infer
-    from plumekit.models import UNet
+    from plumekit.models import build_model
     from plumekit.train.state import create_state
 
-    unet_cfg = UNetConfig()  # base 32, depth 4, bf16 compute
+    arch = ARCH.split(":", 1)
+    unet_cfg = UNetConfig(arch=arch[0],
+                          deep_supervision=(len(arch) > 1
+                                            and arch[1] == "ds"))
+    # base 32, depth 4, bf16 compute
     state = create_state(jax.random.PRNGKey(0), unet_cfg,
                          TrainConfig(tile_size=TILE))
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
 
-    model = UNet(unet_cfg)
+    model = build_model(unet_cfg)
     # Default is the XLA path: the Pallas kernel wins 2x per-level at deep
     # channels but the current layer-by-layer integration loses it back to
     # pad/crop traffic between kernels (fused double-conv kernel keeping the
@@ -292,8 +301,10 @@ def main() -> int:
         baseline = float("nan")
     vs = value / baseline if baseline == baseline else float("nan")
     print(json.dumps({
-        "metric": ("unet_sliding_window_inference_int8" if INT8
-                   else "unet_sliding_window_inference"),
+        "metric": (("unet" if ARCH == "unet" else
+                    ARCH.replace(":", "_"))
+                   + "_sliding_window_inference"
+                   + ("_int8" if INT8 else "")),
         "value": round(value, 2),
         "unit": "MPix/s/chip" + backend_note,
         "vs_baseline": round(vs, 2) if vs == vs else None,
