@@ -54,10 +54,12 @@ GRANULES = int(os.environ.get("PLUMEKIT_BENCH_GRANULES", "4"))
 # forward (the round-1/2-comparable number); the metric name carries the
 # forward so rounds are never silently conflated.
 INT8 = os.environ.get("PLUMEKIT_BENCH_INT8", "1") == "1"
-# PLUMEKIT_BENCH_ARCH=unetpp[:ds] serves the UNet++ family instead (":ds"
-# adds deep supervision — the measured quality pick, BASELINE.md round-3
-# architecture ladder); the metric name carries it. The U-Net default is
-# the cross-round-comparable headline.
+# PLUMEKIT_BENCH_ARCH=unetpp[:ds[:pL]] serves the UNet++ family instead
+# (":ds" adds deep supervision — the measured quality pick, BASELINE.md
+# round-3 architecture ladder; ":p2" serves the grid pruned at fusion
+# column 2, the paper's speed/quality dial — see predict_model
+# --prune-level); the metric name carries it. The U-Net default is the
+# cross-round-comparable headline.
 ARCH = os.environ.get("PLUMEKIT_BENCH_ARCH", "unet")
 
 
@@ -84,10 +86,11 @@ def bench_tpu() -> float:
     from plumekit.models import build_model
     from plumekit.train.state import create_state
 
-    arch = ARCH.split(":", 1)
-    unet_cfg = UNetConfig(arch=arch[0],
-                          deep_supervision=(len(arch) > 1
-                                            and arch[1] == "ds"))
+    parts = ARCH.split(":")
+    prune = next((int(t[1:]) for t in parts[1:] if t.startswith("p")), None)
+    unet_cfg = UNetConfig(arch=parts[0],
+                          deep_supervision="ds" in parts[1:],
+                          prune_level=prune)
     # base 32, depth 4, bf16 compute
     state = create_state(jax.random.PRNGKey(0), unet_cfg,
                          TrainConfig(tile_size=TILE))

@@ -418,6 +418,22 @@ def _restore_variables(args):
                                                PathsConfig().model_dir,
                                                "checkpoints")
     unet_cfg = load_model_config(ckpt_dir) or UNetConfig()
+    pruned_cfg = unet_cfg
+    if getattr(args, "prune_level", None):
+        # serving-time UNet++ pruning (models/unetpp.effective_level):
+        # the restore template below stays the FULL grid (the checkpoint
+        # always holds every column); only the returned serving config is
+        # truncated — the forward simply never reads the deeper params
+        import dataclasses
+
+        from plumekit.models.unetpp import effective_level
+
+        pruned_cfg = dataclasses.replace(unet_cfg,
+                                         prune_level=args.prune_level)
+        try:
+            effective_level(pruned_cfg)  # fail fast with the real message
+        except ValueError as e:
+            raise SystemExit(f"plumekit: --prune-level: {e}")
     state = create_state(jax.random.PRNGKey(0), unet_cfg, TrainConfig())
     if latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)
@@ -428,7 +444,7 @@ def _restore_variables(args):
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
-    return unet_cfg, variables
+    return pruned_cfg, variables
 
 
 class _CliError(Exception):
@@ -1100,6 +1116,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="serve an AOT-exported artifact dir (see "
                             "export_model) instead of tracing the live "
                             "model; granule geometry must match the export")
+        p.add_argument("--prune-level", type=int, default=None,
+                       help="UNet++ deep-supervision checkpoints only: "
+                            "serve the nested grid truncated at fusion "
+                            "column L (heads 1..L averaged) — the paper's "
+                            "pruned-inference speed/quality dial; L=depth "
+                            "is the full model")
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")
     _add_serving_args(pr)
@@ -1148,6 +1170,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "quantizes each restored checkpoint at load time, "
                          "so the artifact stays checkpoint-agnostic")
     ex.add_argument("--batch-tiles", type=int, default=64)
+    ex.add_argument("--prune-level", type=int, default=None,
+                    help="export the UNet++ grid truncated at fusion "
+                         "column L (deep-supervision checkpoints; see "
+                         "predict_model --prune-level)")
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets (export once, "
                          "serve on any listed backend)")
@@ -1170,6 +1196,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--tile", type=int, default=288)
     ev.add_argument("--overlap", type=int, default=32)
     ev.add_argument("--threshold", type=float, default=0.5)
+    ev.add_argument("--prune-level", type=int, default=None,
+                    help="evaluate the UNet++ grid truncated at fusion "
+                         "column L (see predict_model --prune-level)")
     ev.add_argument("--out", default=None,
                     help="report CSV (default <root>/processed/"
                          "evaluation.csv)")

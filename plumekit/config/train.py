@@ -31,6 +31,14 @@ class UNetConfig:
     #: UNet++ only: average the per-column side heads instead of reading
     #: the last column alone (the paper's deep-supervision mode)
     deep_supervision: bool = False
+    #: UNet++ + deep_supervision only, SERVING-time: truncate the nested
+    #: grid at fusion column L (the paper's "model pruning" mode — head j
+    #: only depends on nodes X[i][k] with i+k ≤ j, so a deep-supervised
+    #: checkpoint serves at any L ∈ [1, depth] with the heads 1..L
+    #: averaged; L = depth reproduces the full model exactly). Set via
+    #: ``predict_model/serve/export_model --prune-level``; training
+    #: rejects it (the checkpoint always holds the full grid).
+    prune_level: int | None = None
     #: compute dtype; params stay fp32 masters (config 4: bf16 mixed precision)
     compute_dtype: str = "bfloat16"
     #: use the fused Pallas conv+norm+ReLU kernel on TPU (lax.conv fallback)

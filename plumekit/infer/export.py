@@ -128,6 +128,9 @@ def export_sliding_infer(
         "granules": int(granules),
         "in_channels": int(unet_cfg.in_channels),
         "depth": int(unet_cfg.depth),
+        # informational: the program itself is already truncated when set
+        "prune_level": (None if unet_cfg.prune_level is None
+                        else int(unet_cfg.prune_level)),
         "tile_size": int(infer_cfg.tile_size),
         "overlap": int(infer_cfg.overlap),
         "batch_tiles": int(infer_cfg.batch_tiles),

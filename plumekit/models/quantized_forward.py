@@ -52,6 +52,7 @@ from jax import lax
 
 from plumekit.config.train import UNetConfig
 from plumekit.models.pallas.fused_conv import fold_batchnorm
+from plumekit.models.unetpp import effective_level
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -105,6 +106,7 @@ def _check_cfg(cfg: UNetConfig) -> None:
     if cfg.norm != "batch":
         raise ValueError("int8 quantized forward requires norm='batch' "
                          "(BN folds into the dequant multiplier)")
+    effective_level(cfg)  # validate prune_level against arch/ds/depth
 
 
 def _amax(x) -> jnp.ndarray:
@@ -400,7 +402,7 @@ def make_quantized_apply(cfg: UNetConfig):
 
 def _calibrate_unetpp(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
     params, stats = variables["params"], variables["batch_stats"]
-    depth = cfg.depth
+    depth = effective_level(cfg)  # prune_level truncates the grid
     amax: Dict[str, Any] = {}
 
     x = jnp.asarray(calib, jnp.float32)
@@ -452,7 +454,7 @@ def _quantize_unetpp(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
     amax = _calibrate_unetpp(variables, cfg, calib)
     s = {k: v / 127.0 for k, v in amax.items()}
     params, stats = variables["params"], variables["batch_stats"]
-    depth = cfg.depth
+    depth = effective_level(cfg)  # prune_level truncates the grid
 
     def quant_block(name, in_scales):
         (w1, a1, b1), (w2, a2, b2) = _folded_block(params[name],
@@ -507,7 +509,7 @@ def _quantize_unetpp(variables, cfg: UNetConfig, calib) -> Dict[str, Any]:
 
 
 def _make_unetpp_apply(cfg: UNetConfig):
-    depth = cfg.depth
+    depth = effective_level(cfg)  # prune_level truncates the grid
 
     def head(y, hp):
         return (jnp.einsum("bhwc,co->bhwo", y, hp["kernel"][0, 0])

@@ -42,17 +42,24 @@ class UNetPP(nn.Module):
         cfg = self.cfg
         dtype: Any = _dtype_of(cfg.compute_dtype)
         x = x.astype(dtype)
+        # serving-time pruning (the paper's §5 "model pruning"): head j
+        # only reads nodes X[i][k] with i+k ≤ j, so truncating every loop
+        # at L drops the deeper columns AND the deeper encoder levels
+        # entirely. Module names are unchanged, so the full checkpoint's
+        # params apply (flax ignores the unused subtrees); L = depth is
+        # bit-identical to the untruncated model.
+        level = effective_level(cfg)
 
         def block(feats, name):
             return DoubleConv(feats, cfg.norm, dtype,
                               cfg.group_norm_groups, self.axis_name,
                               name=name)
 
-        feats = [cfg.base_features * (1 << i) for i in range(cfg.depth + 1)]
+        feats = [cfg.base_features * (1 << i) for i in range(level + 1)]
         # encoder backbone: column 0 (X[i][0] at scale 1/2^i)
         grid = {}
         h = x
-        for i in range(cfg.depth + 1):
+        for i in range(level + 1):
             if i:
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
             h = block(feats[i], f"x_{i}_0")(h, train)
@@ -60,8 +67,8 @@ class UNetPP(nn.Module):
 
         # nested dense decoder: X[i][j] = block(concat(X[i][0..j-1],
         # up(X[i+1][j-1])))
-        for j in range(1, cfg.depth + 1):
-            for i in range(cfg.depth + 1 - j):
+        for j in range(1, level + 1):
+            for i in range(level + 1 - j):
                 up = nn.ConvTranspose(feats[i], (2, 2), strides=(2, 2),
                                       dtype=dtype,
                                       name=f"up_{i}_{j}")(grid[(i + 1, j - 1)])
@@ -78,9 +85,30 @@ class UNetPP(nn.Module):
             # side head; serve the average (columns stay individually
             # trainable, and the mean keeps the single-logits contract)
             outs = [head(grid[(0, j)], f"head_{j}")
-                    for j in range(1, cfg.depth + 1)]
+                    for j in range(1, level + 1)]
             return sum(outs) / len(outs)
-        return head(grid[(0, cfg.depth)], "head")
+        return head(grid[(0, level)], "head")
+
+
+def effective_level(cfg: UNetConfig) -> int:
+    """The fusion column the forward tops out at: ``prune_level`` when set
+    (validated — UNet++ with deep supervision only, 1 ≤ L ≤ depth), else
+    ``depth``. Also the effective DOWNSAMPLING depth of the pruned net:
+    inputs need only divide by ``2**level``, and the sharded-inference halo
+    radius is ``receptive_field(level)``."""
+    if cfg.prune_level is None:
+        return cfg.depth
+    if cfg.arch != "unetpp" or not cfg.deep_supervision:
+        raise ValueError(
+            "prune_level is a serving-time mode of the deep-supervised "
+            "UNet++ (side heads on every fusion column are what make the "
+            f"truncated grid servable); arch={cfg.arch!r} "
+            f"deep_supervision={cfg.deep_supervision}")
+    if not 1 <= cfg.prune_level <= cfg.depth:
+        raise ValueError(
+            f"prune_level must be in [1, depth={cfg.depth}], "
+            f"got {cfg.prune_level}")
+    return cfg.prune_level
 
 
 def build_model(cfg: UNetConfig, axis_name: Optional[str] = None):
@@ -93,6 +121,7 @@ def build_model(cfg: UNetConfig, axis_name: Optional[str] = None):
             "deep_supervision is a UNet++ mode (side heads on the nested "
             f"top-row columns); arch is {cfg.arch!r} — a silently ignored "
             "flag would also be persisted into model_config.json")
+    effective_level(cfg)  # validate prune_level against arch/ds/depth
     if cfg.arch == "unetpp":
         return UNetPP(cfg, axis_name=axis_name)
     if cfg.arch == "unet":

@@ -41,6 +41,14 @@ def train(
     ``prepare_model_data`` (the closed selector loop) and overrides
     ``weak_labels``.
     """
+    if unet_cfg.prune_level is not None:
+        # pruning is a serving-time truncation of a FULL deep-supervised
+        # checkpoint; training a truncated grid would persist a config
+        # whose checkpoints can never serve the deeper columns
+        raise ValueError(
+            "prune_level is serving-only (predict_model/serve/export_model "
+            "--prune-level); train with the full depth and deep_supervision "
+            "— every column's head is trained, so any L serves later")
     mesh = make_mesh(mesh_cfg) if mesh_cfg and mesh_cfg.n_devices > 1 else None
 
     rng = jax.random.PRNGKey(train_cfg.seed)

@@ -402,3 +402,36 @@ def test_quantized_vmap_folds_into_batch_exactly(arch, deep):
     assert shapes, "expected conv_general_dilated in the batched jaxpr"
     for s in shapes:
         assert len(s) == 4 and s[0] % 6 == 0, s
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_quantized_pruned_unetpp_tracks_fp32(level):
+    """int8 serving of a PRUNED deep-supervised UNet++ (predict_model
+    --int8 --prune-level): the truncated scale graph must track the
+    truncated flax forward the way the full grid does."""
+    import dataclasses
+
+    from plumekit.models import build_model
+
+    cfg = UNetConfig(arch="unetpp", in_channels=2, base_features=8,
+                     depth=2, compute_dtype="float32",
+                     deep_supervision=True)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((2, 32, 32, 2), np.float32))
+    variables = build_model(cfg).init(jax.random.PRNGKey(2), x, train=False)
+    pruned = dataclasses.replace(cfg, prune_level=level)
+    ref = np.asarray(
+        build_model(pruned).apply(variables, x, train=False)).ravel()
+    qvars = quantize_unet(variables, pruned, x)
+    got = np.asarray(make_quantized_apply(pruned)(qvars, x)).ravel()
+    assert np.corrcoef(got, ref)[0, 1] > 0.99
+    span = ref.max() - ref.min()
+    assert np.abs(got - ref).max() < 0.15 * span
+    if level == cfg.depth:
+        # full-level pruning must quantize to the identical artifact
+        full_q = quantize_unet(variables, cfg, x)
+        flat_a = jax.tree.leaves(qvars)
+        flat_b = jax.tree.leaves(full_q)
+        assert len(flat_a) == len(flat_b)
+        assert all((np.asarray(a) == np.asarray(b)).all()
+                   for a, b in zip(flat_a, flat_b))

@@ -171,3 +171,93 @@ def test_unetpp_cli_train_then_predict(tmp_path):
     # the fused Pallas forward is unet-only: clear error, not a crash
     assert main(["predict_model", "--root", root, "--tile", "64",
                  "--fused"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# serving-time pruning (the UNet++ paper's §5 "model pruning" mode)
+# ---------------------------------------------------------------------------
+
+PP_DS = UNetConfig(in_channels=2, base_features=8, depth=3,
+                   compute_dtype="float32", arch="unetpp",
+                   deep_supervision=True)
+
+
+def _ds_variables(cfg, key=0):
+    model = UNetPP(cfg)
+    x = jnp.zeros((1, 8 * 2 ** cfg.depth, 8 * 2 ** cfg.depth,
+                   cfg.in_channels))
+    return model.init(jax.random.PRNGKey(key), x, train=False)
+
+
+def test_prune_level_at_depth_is_bitexact():
+    """L = depth must reproduce the full deep-supervised model exactly —
+    pruning only ever REMOVES computation."""
+    import dataclasses
+
+    variables = _ds_variables(PP_DS)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 2),
+                                                    np.float32))
+    full = build_model(PP_DS).apply(variables, x, train=False)
+    pruned = build_model(
+        dataclasses.replace(PP_DS, prune_level=PP_DS.depth)
+    ).apply(variables, x, train=False)
+    assert (full == pruned).all()
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_prune_level_equals_restricted_depth_model(level):
+    """Head j depends only on nodes X[i][k] with i + k <= j, so serving the
+    depth-3 checkpoint pruned at L must equal a depth-L UNet++ applied with
+    the SAME (full) param dict — the structural claim pruning rests on."""
+    import dataclasses
+
+    variables = _ds_variables(PP_DS)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 2),
+                                                    np.float32))
+    pruned = build_model(
+        dataclasses.replace(PP_DS, prune_level=level)
+    ).apply(variables, x, train=False)
+    restricted = build_model(
+        dataclasses.replace(PP_DS, depth=level, prune_level=None)
+    ).apply(variables, x, train=False)
+    assert (pruned == restricted).all()
+
+
+def test_prune_level_validation():
+    import dataclasses
+
+    from plumekit.train.loop import train
+
+    for bad in (dict(prune_level=0), dict(prune_level=4),
+                dict(arch="unet", deep_supervision=False, prune_level=2),
+                dict(deep_supervision=False, prune_level=2)):
+        with pytest.raises(ValueError):
+            build_model(dataclasses.replace(PP_DS, **bad))
+    # training a truncated grid is refused: the persisted config would
+    # describe checkpoints that cannot serve the deeper columns
+    with pytest.raises(ValueError, match="serving-only"):
+        train(unet_cfg=dataclasses.replace(PP_DS, prune_level=1),
+              train_cfg=TrainConfig(total_steps=1), checkpoint=False)
+
+
+def test_prune_level_cli_predict(tmp_path):
+    """predict_model --prune-level serves a deep-supervised checkpoint
+    truncated; on a non-DS checkpoint the flag must fail with a clear
+    usage error, not a half-restored model."""
+    from plumekit.cli import main
+
+    root = str(tmp_path)
+    assert main(["make_dataset", "--root", root, "--n-granules", "1",
+                 "--size", "128"]) == 0
+    assert main(["train_model", "--root", root, "--steps", "2",
+                 "--batch-size", "2", "--tile", "32",
+                 "--granule-size", "64", "--arch", "unetpp",
+                 "--deep-supervision"]) == 0
+    assert main(["predict_model", "--root", root, "--tile", "64",
+                 "--prune-level", "1"]) == 0
+    preds = os.listdir(os.path.join(root, "processed", "predictions"))
+    assert preds
+    # out-of-range level: usage error
+    with pytest.raises(SystemExit):
+        main(["predict_model", "--root", root, "--tile", "64",
+              "--prune-level", "7"])
