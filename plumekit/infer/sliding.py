@@ -38,6 +38,28 @@ def _taper(tile: int, overlap: int) -> np.ndarray:
     return w
 
 
+def _effective_batch(batch_tiles: int, n: int) -> int:
+    """Per-forward batch for an ``n``-tile grid: the size in
+    [batch_tiles/2, batch_tiles] that minimises duplicate batch-fill tiles
+    (ties to the largest batch). The naive ``min(batch_tiles, n)`` wastes
+    whole forwards whenever the grid count sits just past a multiple —
+    e.g. the 29×29 = 841-tile grid of an 8192² granule at 256-px stride
+    pads 183 duplicates at batch 256 (+22% forward FLOPs) while batch 211
+    pads 3 (+0.4%); the waste was the measured gap between the 288²-tile
+    apply rate and the 288/0 pipeline rate (BASELINE.md round-3 tile
+    sweep). The search is O(batch_tiles) numpy at trace time; halving is
+    the floor because very small batches under-fill the device."""
+    hi = max(1, min(batch_tiles, n))
+    best, best_pad = hi, (-n) % hi
+    for eff in range(hi - 1, max(0, hi // 2 - 1), -1):
+        p = (-n) % eff
+        if p < best_pad:
+            best, best_pad = eff, p
+            if p == 0:
+                break
+    return best
+
+
 def tile_grid(size: int, tile: int, stride: int) -> np.ndarray:
     """Start offsets covering [0, size) with the last tile clamped flush."""
     if size <= tile:
@@ -103,7 +125,7 @@ def make_sliding_infer(
         # grid (e.g. 16 tiles at 1024²) must not pad up to a large
         # batch_tiles default and waste 4x the forward on duplicates —
         # the geometry is static per image shape, so this is free
-        eff = max(1, min(cfg.batch_tiles, n))
+        eff = _effective_batch(cfg.batch_tiles, n)
         pad = (-n) % eff
         padded = np.concatenate(
             [origins_np, np.tile(origins_np[-1:], (pad, 1))], axis=0

@@ -235,3 +235,44 @@ def test_batch_infer_sharded_matches_unsharded(model_and_vars):
     np.testing.assert_allclose(np.asarray(ps), np.asarray(pu),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ms), np.asarray(mu))
+
+
+def test_effective_batch_minimises_fill():
+    """The adaptive per-forward batch must (a) never exceed batch_tiles or
+    the grid count, (b) never pad MORE than the naive min(batch_tiles, n)
+    choice, and (c) hit the measured case that motivated it: the 841-tile
+    grid of an 8192² granule at 256-px stride padded 183 duplicate
+    forwards at batch 256 (+22% FLOPs); the search must get that under
+    1%."""
+    from plumekit.infer.sliding import _effective_batch
+
+    for n in (1, 2, 7, 16, 100, 289, 841, 1024):
+        for bt in (1, 3, 64, 128, 256):
+            eff = _effective_batch(bt, n)
+            assert 1 <= eff <= min(bt, n) or eff == 1
+            naive = max(1, min(bt, n))
+            assert (-n) % eff <= (-n) % naive
+    assert (-841) % _effective_batch(256, 841) <= 8  # was 183
+
+
+def test_sliding_infer_invariant_to_batch_tiles(model_and_vars):
+    """Stitched output must be invariant to batch_tiles (up to conv
+    accumulation order, ~1e-7 — XLA schedules different batch sizes
+    differently): batch-fill duplicates are dropped (fast path) or
+    weight-compensated (general path), and the adaptive batch is pure
+    scheduling."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((160, 160, 2)).astype(np.float32))
+    outs = []
+    for bt in (1, 3, 5, 25):
+        infer = make_sliding_infer(
+            model.apply, InferConfig(tile_size=32, overlap=0,
+                                     batch_tiles=bt), channels=2)
+        probs, mask = infer(variables, img)
+        outs.append((np.asarray(probs), np.asarray(mask)))
+    for probs, mask in outs[1:]:
+        np.testing.assert_allclose(probs, outs[0][0], atol=1e-6)
+        # masks may only disagree where probs sit within tol of threshold
+        flip = mask != outs[0][1]
+        assert np.abs(outs[0][0][flip] - 0.5).max(initial=0.0) < 1e-6
