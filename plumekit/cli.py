@@ -391,6 +391,10 @@ def cmd_train_model(args) -> int:
                 args.root, PathsConfig().model_dir, "checkpoints"),
             steps_per_dispatch=args.steps_per_dispatch,
             quantize_transfer=args.quantize_transfer,
+            distill_from=args.distill_from,
+            distill_alpha=args.distill_alpha,
+            distill_temp=args.distill_temp,
+            distill_prune_level=args.distill_prune_level,
         ),
         data_cfg=DataConfig(granule_size=args.granule_size),
         mesh_cfg=mesh,
@@ -1083,6 +1087,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "so predict/export/evaluate rebuild it")
     t.add_argument("--deep-supervision", action="store_true",
                    help="unetpp only: average the per-column side heads")
+    t.add_argument("--distill-from", default=None, metavar="CKPT_DIR",
+                   help="offline knowledge distillation: re-label the "
+                        "training granules with this checkpoint's soft "
+                        "probabilities before training (one amortised "
+                        "sliding-infer pass per granule; the dev set keeps "
+                        "its original labels)")
+    t.add_argument("--distill-alpha", type=float, default=0.7,
+                   help="teacher blend weight: y' = a*p_teacher + (1-a)*y")
+    t.add_argument("--distill-temp", type=float, default=1.0,
+                   help="teacher logits are divided by T before the "
+                        "sigmoid (T > 1 softens the soft labels)")
+    t.add_argument("--distill-prune-level", type=int, default=None,
+                   help="serve a UNet++ deep-supervision teacher pruned at "
+                        "this fusion column (see predict --prune-level)")
     t.set_defaults(fn=cmd_train_model)
 
     def _add_serving_args(p):

@@ -9,7 +9,7 @@ north star + configs 1-5).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -88,6 +88,24 @@ class TrainConfig:
     #: range/131070 (~2e-5 on physical AOD) — far below bf16 compute
     #: precision; masks encode exactly
     quantize_transfer: bool = False
+    #: offline knowledge distillation (``train/distill.py``): a checkpoint
+    #: dir whose model re-labels the TRAINING granules with its soft
+    #: probabilities before the loop starts (the dev set keeps the
+    #: original labels so dev IoU stays comparable). The teacher forward
+    #: runs once per granule through the amortised sliding-inference
+    #: path, not per step — zero hot-path cost
+    distill_from: Optional[str] = None
+    #: label blend ``y' = a·p_teacher + (1−a)·y`` — BCE is linear in the
+    #: target, so this IS the classic mixed KD loss at weight a
+    distill_alpha: float = 0.7
+    #: teacher logits are divided by T before the sigmoid (T > 1 softens)
+    distill_temp: float = 1.0
+    #: serve the teacher pruned at fusion column L (UNet++ deep-supervision
+    #: teachers; see UNetConfig.prune_level)
+    distill_prune_level: Optional[int] = None
+    #: sliding-infer geometry for the teacher pass (None = the serving
+    #: default, the measured 288/32/64 optimum; tests shrink it)
+    distill_infer: Optional["InferConfig"] = None
 
 
 @dataclass(frozen=True)

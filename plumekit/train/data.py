@@ -23,7 +23,9 @@ from plumekit.io.granule import NULL_VALUE
 @dataclass
 class GranuleSample:
     """One scene ready for tiling: channels (H, W, C) float32, label mask
-    (H, W) float32 in {0, 1}."""
+    (H, W) float32 in [0, 1] — hard {0, 1} from every labelling path,
+    soft after offline distillation (``train/distill.py``) blends teacher
+    probabilities in."""
 
     channels: np.ndarray
     mask: np.ndarray
@@ -220,8 +222,13 @@ def quantize_samples(samples: List[GranuleSample]) -> List[GranuleSample]:
     out = []
     for s in samples:
         q, lo, scale = quantize_uint16(s.channels)
-        qs = GranuleSample(channels=q,
-                           mask=(s.mask > 0.5).astype(np.uint8))
+        # masks encode as uint8/255: exact for the {0, 1} labels every
+        # standard path produces, and soft labels (offline distillation
+        # blends teacher probabilities into the mask plane) survive to
+        # within 1/510. The device decode divides by 255 (_dequant_batch)
+        qs = GranuleSample(
+            channels=q,
+            mask=np.rint(np.clip(s.mask, 0.0, 1.0) * 255.0).astype(np.uint8))
         qs.lo, qs.scale = lo, scale
         out.append(qs)
     return out

@@ -129,6 +129,19 @@ def train(
     else:
         train_set = make_synthetic_dataset(data_cfg, train=True)
         eval_set = make_synthetic_dataset(data_cfg, train=False)
+    if train_cfg.distill_from:
+        # offline KD: re-label ONLY the training granules with the
+        # teacher's soft probabilities (one amortised sliding-infer pass
+        # per granule, nothing on the step hot path); the dev set keeps
+        # its original labels so dev IoU stays comparable across runs
+        from plumekit.train.distill import distill_samples
+
+        train_set = distill_samples(
+            train_set, train_cfg.distill_from,
+            alpha=train_cfg.distill_alpha,
+            temperature=train_cfg.distill_temp,
+            prune_level=train_cfg.distill_prune_level,
+            infer_cfg=train_cfg.distill_infer)
     np_rng = np.random.default_rng((train_cfg.seed, start_step))
     from plumekit.io.prefetch import device_prefetch
 

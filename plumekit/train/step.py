@@ -70,7 +70,9 @@ def _dequant_batch(batch):
 
     q, lo, scale, y8 = batch
     xs = dequantize(q, lo[..., None, None, :], scale[..., None, None, :])
-    return xs, y8.astype(jnp.float32)
+    # masks encode as uint8/255 (exact for {0, 1} labels; soft distilled
+    # labels round-trip to 1/510) — see quantize_samples
+    return xs, y8.astype(jnp.float32) * (1.0 / 255.0)
 
 
 def make_train_step(dice_weight: float = 0.5, augment: bool = True,

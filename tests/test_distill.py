@@ -1,0 +1,135 @@
+"""Offline knowledge distillation (train/distill.py): teacher soft labels.
+
+The reference has no training at all (its train_model was promised in
+README.md:41-45, never committed); distillation is part of plumekit's L4
+extension — train the UNet++ quality pick once, serve its knowledge
+through the fast int8 U-Net body.
+"""
+
+import numpy as np
+import pytest
+
+from plumekit.config.train import (DataConfig, InferConfig, TrainConfig,
+                                   UNetConfig)
+from plumekit.train.data import make_synthetic_dataset
+
+SMALL_UNET = UNetConfig(in_channels=2, base_features=8, depth=2,
+                        compute_dtype="float32")
+DATA = DataConfig(granule_size=96, tile_size=32, n_train_granules=2,
+                  n_eval_granules=1)
+INFER = InferConfig(tile_size=32, overlap=8, batch_tiles=4)
+
+
+def _train_teacher(tmp_path, arch="unet", deep_supervision=False):
+    from plumekit.train.loop import train
+
+    ckpt = str(tmp_path / "teacher")
+    cfg = TrainConfig(batch_size=2, tile_size=32, total_steps=4,
+                      warmup_steps=2, checkpoint_every=4, log_every=4,
+                      checkpoint_dir=ckpt, augment=False)
+    unet = SMALL_UNET if arch == "unet" else UNetConfig(
+        in_channels=2, base_features=8, depth=2, compute_dtype="float32",
+        arch="unetpp", deep_supervision=deep_supervision)
+    train(unet, cfg, DATA)
+    return ckpt
+
+
+def test_distill_blend_semantics(tmp_path):
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path)
+    samples = make_synthetic_dataset(DATA, train=True)
+    hard = [s.mask.copy() for s in samples]
+
+    # alpha=0 is a no-op on the labels
+    out0 = distill_samples(samples, ckpt, alpha=0.0, infer_cfg=INFER)
+    for s, h in zip(out0, hard):
+        np.testing.assert_allclose(s.mask, h, atol=1e-6)
+
+    # alpha=1 trains purely on the teacher: strictly soft probabilities
+    out1 = distill_samples(samples, ckpt, alpha=1.0, infer_cfg=INFER)
+    for s, h in zip(out1, hard):
+        assert s.mask.shape == h.shape
+        assert np.all(s.mask >= 0.0) and np.all(s.mask <= 1.0)
+        assert np.any((s.mask > 0.0) & (s.mask < 1.0))
+
+    # intermediate alpha is the exact linear blend of the two endpoints
+    out_mid = distill_samples(samples, ckpt, alpha=0.25, infer_cfg=INFER)
+    for sm, s1, h in zip(out_mid, out1, hard):
+        np.testing.assert_allclose(sm.mask, 0.25 * s1.mask + 0.75 * h,
+                                   atol=1e-5)
+    # channels pass through untouched
+    for sm, s in zip(out_mid, samples):
+        np.testing.assert_array_equal(sm.channels, s.channels)
+
+
+def test_distill_temperature_softens(tmp_path):
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path)
+    samples = make_synthetic_dataset(DATA, train=True)
+    p1 = distill_samples(samples, ckpt, alpha=1.0, temperature=1.0,
+                         infer_cfg=INFER)
+    p4 = distill_samples(samples, ckpt, alpha=1.0, temperature=4.0,
+                         infer_cfg=INFER)
+    # sigmoid(l/T) pulls every probability toward 0.5 for T > 1
+    for a, b in zip(p1, p4):
+        assert np.all(np.abs(b.mask - 0.5) <= np.abs(a.mask - 0.5) + 1e-6)
+        assert np.mean(np.abs(b.mask - 0.5)) < np.mean(np.abs(a.mask - 0.5))
+
+
+def test_distill_validation_errors(tmp_path):
+    from plumekit.train.distill import distill_samples
+
+    samples = make_synthetic_dataset(DATA, train=True)
+    with pytest.raises(ValueError, match="alpha"):
+        distill_samples(samples, str(tmp_path), alpha=1.5)
+    with pytest.raises(ValueError, match="temperature"):
+        distill_samples(samples, str(tmp_path), temperature=0.0)
+    with pytest.raises(ValueError, match="model_config"):
+        distill_samples(samples, str(tmp_path / "nowhere"), alpha=0.5)
+
+
+def test_distill_channel_mismatch(tmp_path):
+    from plumekit.train.data import GranuleSample
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path)
+    bad = [GranuleSample(channels=np.zeros((96, 96, 3), np.float32),
+                         mask=np.zeros((96, 96), np.float32))]
+    with pytest.raises(ValueError, match="channels"):
+        distill_samples(bad, ckpt, infer_cfg=INFER)
+
+
+def test_train_with_distillation_end_to_end(tmp_path):
+    """Full loop: teacher ckpt -> student trains on the blend; the dev set
+    keeps hard labels so eval IoU stays comparable. Also composes with the
+    quantized-transfer path (soft labels ride the uint8/255 mask codec)."""
+    from plumekit.train.loop import train
+
+    teacher = _train_teacher(tmp_path)
+    hist = train(
+        SMALL_UNET,
+        TrainConfig(batch_size=2, tile_size=32, total_steps=4,
+                    warmup_steps=2, checkpoint_every=4, log_every=4,
+                    checkpoint_dir=str(tmp_path / "student"), augment=False,
+                    quantize_transfer=True,
+                    distill_from=teacher, distill_alpha=0.7,
+                    distill_infer=InferConfig(tile_size=32, overlap=8,
+                                              batch_tiles=4)),
+        DATA)
+    assert np.isfinite(hist["eval_iou"][-1])
+
+
+def test_distill_unetpp_teacher_with_pruning(tmp_path):
+    """A deep-supervised UNet++ teacher serves pruned at column 1 — the
+    quality-pick teacher configuration BASELINE.md measures."""
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path, arch="unetpp", deep_supervision=True)
+    samples = make_synthetic_dataset(DATA, train=True)
+    out = distill_samples(samples, ckpt, alpha=1.0, prune_level=1,
+                          infer_cfg=INFER)
+    for s in out:
+        assert np.all(s.mask >= 0.0) and np.all(s.mask <= 1.0)
+        assert np.any((s.mask > 0.0) & (s.mask < 1.0))

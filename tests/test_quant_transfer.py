@@ -57,8 +57,10 @@ def test_tile_schedule_parity_and_payload():
                                      scale[:, None, None, :]))
         assert np.all(np.abs(back - xs) <= scale[:, None, None, :] / 2
                       + 1e-6)
-        np.testing.assert_array_equal(y8[..., 0],
-                                      ys[..., 0].astype(np.uint8))
+        # mask codec is uint8/255 (exact for {0,1}; soft distilled labels
+        # survive to 1/510)
+        np.testing.assert_array_equal(
+            y8[..., 0], np.rint(ys[..., 0] * 255.0).astype(np.uint8))
 
 
 def test_quant_step_matches_float_step():
@@ -78,7 +80,7 @@ def test_quant_step_matches_float_step():
     q = q.reshape(xs.shape)
     lo_b = np.tile(lo, (4, 1))
     scale_b = np.tile(scale, (4, 1))
-    y8 = ys.astype(np.uint8)
+    y8 = np.rint(ys * 255.0).astype(np.uint8)
 
     step_f = make_train_step(augment=False)
     step_q = make_train_step(augment=False, dequant=True)
