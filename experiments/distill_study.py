@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Distillation study: does the UNet++ teacher transfer quality to the fast
+U-Net serving body?
+
+Round-3 context (BASELINE.md architecture ladder, same protocol): U-Net
+0.736 GT-dev IoU at 324.8 MPix/s int8 serving vs UNet++ deep-supervised
+0.813 at 114.6 — a quality/speed split. The distillation feature
+(train/distill.py) claims to close it: train the teacher once, re-label
+the training granules with its soft probabilities through the amortised
+sliding-inference path, and train the cheap student on the blend.
+
+This study measures that claim under the quality-loop protocol:
+
+  leg 1  student baseline   U-Net on raw weak labels
+  leg 2  teacher            UNet++ + deep supervision on the same weak
+                            labels, best-dev state checkpointed
+  leg 3+ distilled student  U-Net on alpha-blended teacher labels,
+                            one leg per --alphas entry
+
+All legs share the SAME weak-label set, GT dev set, schedule, and early
+stopping, in one process (within-run comparison — the protocol's
+run-to-run variance is ~±0.02, BASELINE.md). Dev IoU is always against
+ground truth with the ORIGINAL labels (distill_samples never touches the
+dev set), so the legs are directly comparable.
+
+Usage:
+  python experiments/distill_study.py                 # TPU full protocol
+  python experiments/distill_study.py --cpu --granules 12 --size 256 \
+      --base 16 --depth 3                             # CPU small-scale
+"""
+
+import os as _os
+import sys as _sys
+
+# repo-root import shim (scripts run as `python experiments/<name>.py`)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import shutil
+import time
+
+import numpy as np
+
+p = argparse.ArgumentParser()
+p.add_argument("--granules", type=int, default=60)
+p.add_argument("--size", type=int, default=512)
+p.add_argument("--steps", type=int, default=3000)
+p.add_argument("--batch", type=int, default=16)
+p.add_argument("--tile", type=int, default=128)
+p.add_argument("--smooth", type=float, default=0.05)
+p.add_argument("--base", type=int, default=32)
+p.add_argument("--depth", type=int, default=4)
+p.add_argument("--alphas", default="0.7,1.0",
+               help="comma list of distill blend weights (1.0 = pure "
+                    "teacher labels)")
+p.add_argument("--temp", type=float, default=1.0)
+p.add_argument("--teacher-dir", default="/tmp/distill_study_teacher")
+p.add_argument("--skip-baseline", action="store_true",
+               help="skip leg 1 (reuse a same-protocol number from "
+                    "BASELINE.md instead)")
+p.add_argument("--cpu", action="store_true")
+args = p.parse_args()
+alphas = [float(a) for a in args.alphas.split(",") if a.strip()]
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache" if not args.cpu
+                  else "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from plumekit.config.identify import RGIdentifyConfig
+from plumekit.config.train import (DataConfig, InferConfig, TrainConfig,
+                                   UNetConfig)
+from plumekit.identify import rg as rg_mod
+from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+from plumekit.train.data import GranuleSample, scene_to_sample
+from plumekit.train.loop import train
+
+print(f"backend: {jax.default_backend()}  granules: {args.granules}  "
+      f"alphas: {alphas}")
+
+SCENE = dict(n_plumes=3, background_level=0.2, background_noise=0.05,
+             plume_amplitude=(0.6, 0.9), plume_sigma_major=(9.0, 16.0),
+             plume_sigma_minor=(1.8, 2.8), fires_per_plume=(5, 8))
+
+
+def build_weak_set():
+    identify_cfg = RGIdentifyConfig(max_fires=32)
+    out = []
+    t0 = time.perf_counter()
+    for i in range(args.granules):
+        scene = make_scene(SyntheticSceneConfig(
+            size=args.size, seed=1000 + i, **SCENE))
+        g = scene.granule
+        date = scene.fires.date_time.iloc[0]
+        _aod, _hulls, res = rg_mod.identify(
+            g.first_layer(), g.lat, g.lon, date, scene.fires, identify_cfg)
+        sample = scene_to_sample(scene)
+        weak = np.zeros(g.shape, np.float32)
+        for f in np.nonzero(res["accepted"])[0]:
+            weak[res["mask"][f]] = 1.0
+        out.append(GranuleSample(channels=sample.channels, mask=weak))
+    print(f"weak-labelled {args.granules} granules in "
+          f"{time.perf_counter() - t0:.1f} s")
+    return out
+
+
+def gt_dev_set(n=8):
+    return [scene_to_sample(make_scene(SyntheticSceneConfig(
+        size=args.size, seed=77000 + i, **SCENE))) for i in range(n)]
+
+
+weak_set = build_weak_set()
+dev = gt_dev_set()
+
+base_cfg = TrainConfig(
+    total_steps=args.steps, batch_size=args.batch, tile_size=args.tile,
+    log_every=200, eval_every=100, early_stop_patience=8,
+    label_smooth=args.smooth,
+)
+# sliding-infer geometry for the distillation relabel pass: the measured
+# 288/32 optimum where it fits, one whole-granule tile otherwise
+distill_infer = (InferConfig() if args.size >= 288
+                 else InferConfig(tile_size=args.size, overlap=0,
+                                  batch_tiles=8))
+
+student_cfg = UNetConfig(arch="unet", base_features=args.base,
+                         depth=args.depth)
+teacher_cfg = UNetConfig(arch="unetpp", base_features=args.base,
+                         depth=args.depth, deep_supervision=True)
+
+results = {}
+
+
+def run(name, unet_cfg, train_cfg, checkpoint=False):
+    t0 = time.perf_counter()
+    hist = train(unet_cfg=unet_cfg, train_cfg=train_cfg,
+                 data_cfg=DataConfig(), checkpoint=checkpoint,
+                 datasets=(weak_set, dev))
+    results[name] = {
+        "best_dev_iou": hist["best_dev_iou"][0],
+        "best_step": hist["best_dev_step"][0],
+        "train_s": round(time.perf_counter() - t0, 1),
+    }
+    print(name, results[name])
+
+
+if not args.skip_baseline:
+    run("student-weak", student_cfg, base_cfg)
+
+# the teacher checkpoints so the distill legs can restore its best-dev
+# state (train() prunes post-peak checkpoints: latest_step == best_step)
+shutil.rmtree(args.teacher_dir, ignore_errors=True)
+import dataclasses
+
+run("teacher-unetpp-ds", teacher_cfg,
+    dataclasses.replace(base_cfg, checkpoint_dir=args.teacher_dir),
+    checkpoint=True)
+
+for alpha in alphas:
+    run(f"student-distill-a{alpha:g}", student_cfg,
+        dataclasses.replace(base_cfg, distill_from=args.teacher_dir,
+                            distill_alpha=alpha, distill_temp=args.temp,
+                            distill_infer=distill_infer))
+
+print(json.dumps(results))
