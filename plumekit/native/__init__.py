@@ -26,24 +26,35 @@ def _load() -> Optional[ctypes.CDLL]:
         from plumekit.native.build import build
 
         lib = ctypes.CDLL(build())
+        lib.plumekit_ccl_label.restype = ctypes.c_int32
+        lib.plumekit_ccl_label.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.plumekit_region_stats.restype = None
+        lib.plumekit_region_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.plumekit_component_sizes.restype = None
+        lib.plumekit_component_sizes.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.plumekit_quantize_uint16.restype = ctypes.c_int32
+        lib.plumekit_quantize_uint16.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.plumekit_quantize_mask_uint8.restype = None
+        lib.plumekit_quantize_mask_uint8.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     except Exception:
         return None
-    lib.plumekit_ccl_label.restype = ctypes.c_int32
-    lib.plumekit_ccl_label.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.plumekit_region_stats.restype = None
-    lib.plumekit_region_stats.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
-    ]
-    lib.plumekit_component_sizes.restype = None
-    lib.plumekit_component_sizes.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int64),
-    ]
     _LIB = lib
     return lib
 
@@ -100,6 +111,52 @@ def region_stats(labels: np.ndarray, n_labels: int):
         centroids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return areas, bboxes, centroids
+
+
+def quantize_uint16(channels: np.ndarray
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Fused single-allocation affine uint16 encode over the LAST axis —
+    the native half of :func:`plumekit.ops.quant.quantize_uint16`
+    (bit-exact with the numpy path; see quant.cpp). Returns None when the
+    library is unavailable (caller falls back to numpy); raises the
+    codec's documented ValueError on non-finite input."""
+    lib = _load()
+    if lib is None:
+        return None
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    c = channels.shape[-1]
+    q = np.empty(channels.shape, np.uint16)
+    lo = np.empty(c, np.float32)
+    scale = np.empty(c, np.float32)
+    rc = lib.plumekit_quantize_uint16(
+        channels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        channels.size // c, c,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        finite = np.isfinite(channels.reshape(-1, c))
+        raise ValueError(
+            "quantize_uint16 requires finite input; found NaN/inf "
+            f"(channel finite counts: {finite.sum(axis=0)} "
+            f"of {finite.shape[0]})")
+    return q, lo, scale
+
+
+def quantize_mask_uint8(mask: np.ndarray) -> Optional[np.ndarray]:
+    """uint8 = rint(clip(mask, 0, 1) * 255) — the label-mask codec of
+    ``train/data.quantize_samples``. None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, dtype=np.float32)
+    out = np.empty(mask.shape, np.uint8)
+    lib.plumekit_quantize_mask_uint8(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), mask.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def component_sizes(labels: np.ndarray, n_labels: int) -> np.ndarray:

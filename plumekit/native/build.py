@@ -7,8 +7,10 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "ccl.cpp")
+SOURCES = [os.path.join(HERE, f) for f in ("ccl.cpp", "quant.cpp")]
 LIB = os.path.join(HERE, "libplumekit_native.so")
+# build.py itself counts as an input: flag changes must trigger a rebuild
+_INPUTS = SOURCES + [os.path.abspath(__file__)]
 
 
 def build(force: bool = False) -> str:
@@ -16,12 +18,16 @@ def build(force: bool = False) -> str:
     if (
         not force
         and os.path.exists(LIB)
-        and os.path.getmtime(LIB) >= os.path.getmtime(SRC)
+        and os.path.getmtime(LIB) >= max(os.path.getmtime(s)
+                                         for s in _INPUTS)
     ):
         return LIB
+    # -march=native: the .so is always built on the host it runs on
+    # (first-use auto-build, never shipped). NO -ffast-math: the quantizer
+    # is bit-exact against the numpy codec (quant.cpp header note).
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", LIB, SRC,
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", LIB, *SOURCES,
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return LIB

@@ -23,7 +23,20 @@ def quantize_uint16(channels: np.ndarray):
     """Host-side per-channel affine uint16 encoding over the LAST axis.
 
     Returns ``(q uint16, lo (C,), scale (C,) float32)`` with
-    ``value ≈ lo + q * scale`` (max error scale/2)."""
+    ``value ≈ lo + q * scale`` (max error scale/2).
+
+    Prefers the native C++ single-pass codec (``native/quant.cpp``,
+    bit-exact with this numpy path — parity-tested): the numpy version's
+    seven passes/temporaries cost 90-160 ms per 1152²×2 granule on the
+    1-core host, which cancelled the uint16 upload saving in the round-3
+    config-5 streaming study (BASELINE.md)."""
+    if (channels.dtype == np.float32
+            and channels.flags.c_contiguous):
+        from plumekit import native
+
+        result = native.quantize_uint16(channels)
+        if result is not None:
+            return result
     c = channels.shape[-1]
     flat = channels.reshape(-1, c)
     if not np.isfinite(flat).all():

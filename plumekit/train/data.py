@@ -217,6 +217,7 @@ def quantize_samples(samples: List[GranuleSample]) -> List[GranuleSample]:
     quantize here instead of per batch keeps it OFF the hot path, the
     round-3 config-5 lesson (host-side per-payload quantize cost cancelled
     the transfer saving on the 1-core host, BASELINE.md)."""
+    from plumekit import native
     from plumekit.ops.quant import quantize_uint16
 
     out = []
@@ -226,9 +227,11 @@ def quantize_samples(samples: List[GranuleSample]) -> List[GranuleSample]:
         # standard path produces, and soft labels (offline distillation
         # blends teacher probabilities into the mask plane) survive to
         # within 1/510. The device decode divides by 255 (_dequant_batch)
-        qs = GranuleSample(
-            channels=q,
-            mask=np.rint(np.clip(s.mask, 0.0, 1.0) * 255.0).astype(np.uint8))
+        m8 = native.quantize_mask_uint8(np.asarray(s.mask, np.float32))
+        if m8 is None:
+            m8 = np.rint(
+                np.clip(s.mask, 0.0, 1.0) * 255.0).astype(np.uint8)
+        qs = GranuleSample(channels=q, mask=m8)
         qs.lo, qs.scale = lo, scale
         out.append(qs)
     return out
