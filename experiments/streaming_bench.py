@@ -105,12 +105,14 @@ def serial():
         _ = np.asarray(probs)[:h, :w]
 
 
-def streamed(workers, quantize=False, batch_granules=1):
+def streamed(workers, quantize=False, batch_granules=1,
+             quantize_output=False):
     for _name, probs in stream_inference(paths, infer, variables,
                                          unet_cfg.depth,
                                          decode_workers=workers,
                                          quantize=quantize,
-                                         batch_granules=batch_granules):
+                                         batch_granules=batch_granules,
+                                         quantize_output=quantize_output):
         pass
 
 
@@ -143,6 +145,25 @@ dt_p4 = timed("decode pool (4 threads) + prefetch", lambda: streamed(4))
 dt_q = timed("prefetch + uint16 payloads", lambda: streamed(1, True))
 dt_qb = timed("prefetch + uint16 + batch_granules=3",
               lambda: streamed(1, True, 3))
+# round-3 output lever: uint8 prob readback (the downlink is the bigger
+# half of the measured transfer budget); warm its program variants first
+for _ in stream_inference(paths[:1], infer, variables, unet_cfg.depth,
+                          quantize_output=True):
+    pass
+for _ in stream_inference(paths[:3], infer, variables, unet_cfg.depth,
+                          quantize=True, quantize_output=True,
+                          batch_granules=3):
+    pass
+if len(paths) % 3:
+    for _ in stream_inference(paths[: len(paths) % 3], infer, variables,
+                              unet_cfg.depth, quantize=True,
+                              quantize_output=True, batch_granules=3):
+        pass
+dt_qo = timed("prefetch + uint8 prob readback",
+              lambda: streamed(1, quantize_output=True))
+dt_all = timed("prefetch + uint16 + uint8 out + batch=3",
+               lambda: streamed(1, True, 3, True))
 print(f"\nspeedup vs serial: prefetch {dt_serial/dt_p1:.2f}x  "
       f"pool {dt_serial/dt_p4:.2f}x  quant {dt_serial/dt_q:.2f}x  "
-      f"quant+batch {dt_serial/dt_qb:.2f}x")
+      f"quant+batch {dt_serial/dt_qb:.2f}x  quant_out {dt_serial/dt_qo:.2f}x  "
+      f"all {dt_serial/dt_all:.2f}x")

@@ -673,6 +673,7 @@ def cmd_predict_model(args) -> int:
         granule_paths, infer, variables, depth,
         quantize=args.quantize, batch_granules=batch_granules,
         infer_is_batched=infer_is_batched, predecoded=predecoded,
+        quantize_output=args.quantize_output,
     ):
         gp = next((p for p in granule_paths
                    if os.path.splitext(os.path.basename(p))[0] == name),
@@ -751,6 +752,7 @@ def cmd_serve(args) -> int:
             paths_list, infer, state["variables"], depth,
             quantize=args.quantize, batch_granules=batch_granules,
             infer_is_batched=infer_is_batched, predecoded=predecoded,
+            quantize_output=args.quantize_output,
         ):
             # ordered stream: the i-th yield is the i-th path
             gpath = next(path_iter)
@@ -1130,6 +1132,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="uint16 host→HBM payloads with on-device "
                             "dequant (halves transfer bytes; pays when the "
                             "link, not the host, is the bottleneck)")
+        p.add_argument("--quantize-output", action="store_true",
+                       help="uint8/255 prob readback encoded on device "
+                            "(quarters device→host bytes — the bigger "
+                            "half of the measured transfer budget; probs "
+                            "differ ≤ 1/510 from fp32)")
         p.add_argument("--exported", default=None,
                        help="serve an AOT-exported artifact dir (see "
                             "export_model) instead of tracing the live "

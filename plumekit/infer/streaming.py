@@ -74,7 +74,11 @@ def granule_channel_stream(
 
 # shared affine codecs (also used by the quantized training-transfer path)
 from plumekit.ops.quant import dequantize as _dequantize  # noqa: F401
-from plumekit.ops.quant import quantize_uint16  # noqa: F401
+from plumekit.ops.quant import (  # noqa: F401
+    dequantize_probs_uint8 as _dequantize_probs,
+    quantize_probs_uint8 as _quantize_probs,
+    quantize_uint16,
+)
 
 
 def stream_inference(
@@ -89,6 +93,7 @@ def stream_inference(
     batch_granules: int = 1,
     infer_is_batched: bool = False,
     predecoded: Optional[dict] = None,
+    quantize_output: bool = False,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Run ``infer_fn(variables, image) -> (probs, mask)`` over a granule
     stream: a ``decode_workers``-thread pool decodes granules in parallel
@@ -121,7 +126,15 @@ def stream_inference(
 
     ``predecoded`` (path → decoded tuple) lets a caller that already
     decoded some granules (int8 calibration) feed them in without a second
-    decode — see :func:`granule_channel_stream`."""
+    decode — see :func:`granule_channel_stream`.
+
+    ``quantize_output=True`` encodes the prob plane as uint8/255 INSIDE
+    the inference program and decodes after readback — quartering the
+    device→host bytes (the bigger half of the round-3 transfer budget:
+    ~19 MB/s downlink ≈ 300 ms per 1152² fp32 plane vs 140 ms for the
+    uint16 upload). Yielded probs differ from fp32 by ≤ 1/510; a
+    0.5-threshold mask can flip only inside that hairline band. Implies a
+    jitted program (composes with every other option)."""
     if infer_is_batched and batch_granules < 2:
         raise ValueError(
             "infer_is_batched requires batch_granules >= 2 (the program's "
@@ -161,18 +174,33 @@ def stream_inference(
         def run_one(variables, payload):
             return infer_fn(variables, payload)
 
+    if quantize_output:
+        # encode INSIDE the program so the readback hop carries uint8;
+        # the mask output is dropped here — the stream never yields it,
+        # and with the probs encoded it would otherwise be the readback
+        _fp_run_one = run_one
+
+        def run_one(variables, payload):
+            probs, _mask = _fp_run_one(variables, payload)
+            return _quantize_probs(probs), ()
+
+    def readback(probs_dev: np.ndarray) -> np.ndarray:
+        # crop first (host slicing is free), decode only when encoded
+        return (_dequantize_probs(probs_dev) if quantize_output
+                else probs_dev)
+
     if batch_granules <= 1 and not infer_is_batched:
-        if quantize:
-            # jit only for the dequant fusion (uint16 must stay uint16
-            # across the transfer and decode on device); the plain path
-            # calls infer_fn as-is — it is typically already jitted, and
-            # the documented contract (any infer_fn(variables, image) ->
+        if quantize or quantize_output:
+            # jit only for the dequant/encode fusion (the payload must
+            # stay quantized across each transfer); the plain path calls
+            # infer_fn as-is — it is typically already jitted, and the
+            # documented contract (any infer_fn(variables, image) ->
             # (probs, mask)) includes host-side implementations that a
             # trace would break
             run_one = jax.jit(run_one)
         for name, payload, (h, w) in stream:
             probs, _mask = run_one(variables, payload)
-            yield name, np.asarray(probs)[:h, :w]
+            yield name, readback(np.asarray(probs)[:h, :w])
         return
 
     if infer_is_batched:
@@ -187,8 +215,15 @@ def stream_inference(
         else:
             def run_group_fn(variables, payload):
                 return infer_fn(variables, payload)
+        if quantize_output:
+            _fp_run_group = run_group_fn
+
+            def run_group_fn(variables, payload):
+                probs, _masks = _fp_run_group(variables, payload)
+                return _quantize_probs(probs), ()
         run_group = jax.jit(run_group_fn)
     else:
+        # run_one already carries the output encode when requested
         run_group = jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
 
     def flush(group):
@@ -203,7 +238,7 @@ def stream_inference(
         probs, _masks = run_group(variables, stacked)
         probs = np.asarray(probs)
         for i, (name, _p, (h, w)) in enumerate(group[:n]):
-            yield name, probs[i, :h, :w]
+            yield name, readback(probs[i, :h, :w])
 
     group = []
     for item in stream:

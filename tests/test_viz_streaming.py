@@ -169,6 +169,31 @@ def test_stream_inference_batched_quantized(tmp_path, rng):
         np.testing.assert_allclose(bq[k], ref[k], atol=1e-2)
 
 
+def test_stream_inference_quantized_output(tmp_path, rng):
+    """uint8 prob readback (quarter the downlink bytes) reproduces the
+    fp32 stream within the output codec step (1/510), on both the
+    single-granule and the grouped program."""
+    cfg, infer, variables, paths = _mini_model_and_paths(tmp_path, rng, n=4)
+    ref = dict(stream_inference(paths, infer, variables, cfg.depth))
+    qo = dict(stream_inference(paths, infer, variables, cfg.depth,
+                               quantize_output=True))
+    assert ref.keys() == qo.keys()
+    for k in ref:
+        assert qo[k].dtype == np.float32
+        np.testing.assert_allclose(qo[k], ref[k], atol=1 / 510 + 1e-7)
+        # values land on the uint8/255 lattice (within fp32 division
+        # rounding — q/255*255 is not bit-exactly q)
+        np.testing.assert_allclose(qo[k] * 255, np.round(qo[k] * 255),
+                                   atol=1e-3)
+    # compose with grouped programs AND uint16 uploads in one run
+    all_on = dict(stream_inference(paths, infer, variables, cfg.depth,
+                                   quantize=True, quantize_output=True,
+                                   batch_granules=3))
+    for k in ref:
+        np.testing.assert_allclose(all_on[k], ref[k],
+                                   atol=1e-2 + 1 / 510)
+
+
 def test_multi_granule_infer_matches_per_granule(rng):
     """make_multi_granule_infer == the single-granule path per granule."""
     from plumekit.infer.sliding import make_multi_granule_infer
