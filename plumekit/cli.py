@@ -1095,8 +1095,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "probabilities before training (one amortised "
                         "sliding-infer pass per granule; the dev set keeps "
                         "its original labels)")
-    t.add_argument("--distill-alpha", type=float, default=0.7,
-                   help="teacher blend weight: y' = a*p_teacher + (1-a)*y")
+    t.add_argument("--distill-alpha", type=float, default=1.0,
+                   help="teacher blend weight: y' = a*p_teacher + (1-a)*y "
+                        "(default 1.0 = pure teacher labels — the measured "
+                        "best, BASELINE.md distillation row)")
     t.add_argument("--distill-temp", type=float, default=1.0,
                    help="teacher logits are divided by T before the "
                         "sigmoid (T > 1 softens the soft labels)")

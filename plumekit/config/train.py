@@ -96,8 +96,11 @@ class TrainConfig:
     #: path, not per step — zero hot-path cost
     distill_from: Optional[str] = None
     #: label blend ``y' = a·p_teacher + (1−a)·y`` — BCE is linear in the
-    #: target, so this IS the classic mixed KD loss at weight a
-    distill_alpha: float = 0.7
+    #: target, so this IS the classic mixed KD loss at weight a. Default
+    #: 1.0 (pure teacher labels): the measured best — the teacher is a
+    #: DENOISER of the weak masks, and blending weak mass back in hurts
+    #: (0.795 vs 0.783 at a=0.7, BASELINE.md distillation row)
+    distill_alpha: float = 1.0
     #: teacher logits are divided by T before the sigmoid (T > 1 softens)
     distill_temp: float = 1.0
     #: serve the teacher pruned at fusion column L (UNet++ deep-supervision

@@ -26,37 +26,48 @@ def _load() -> Optional[ctypes.CDLL]:
         from plumekit.native.build import build
 
         lib = ctypes.CDLL(build())
-        lib.plumekit_ccl_label.restype = ctypes.c_int32
-        lib.plumekit_ccl_label.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.plumekit_region_stats.restype = None
-        lib.plumekit_region_stats.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.plumekit_component_sizes.restype = None
-        lib.plumekit_component_sizes.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.plumekit_quantize_uint16.restype = ctypes.c_int32
-        lib.plumekit_quantize_uint16.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.plumekit_quantize_mask_uint8.restype = None
-        lib.plumekit_quantize_mask_uint8.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
+        try:
+            _register(lib)
+        except AttributeError:
+            # a prebuilt .so whose mtime beat every source (tarball /
+            # rsync -t deploys) can predate newer entry points; rebuild
+            # once rather than silently disabling EVERY native path
+            lib = ctypes.CDLL(build(force=True))
+            _register(lib)
     except Exception:
         return None
     _LIB = lib
     return lib
+
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.plumekit_ccl_label.restype = ctypes.c_int32
+    lib.plumekit_ccl_label.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.plumekit_region_stats.restype = None
+    lib.plumekit_region_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.plumekit_component_sizes.restype = None
+    lib.plumekit_component_sizes.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.plumekit_quantize_uint16.restype = ctypes.c_int32
+    lib.plumekit_quantize_uint16.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.plumekit_quantize_mask_uint8.restype = None
+    lib.plumekit_quantize_mask_uint8.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
 
 
 def available() -> bool:

@@ -22,6 +22,11 @@ def build(force: bool = False) -> str:
                                          for s in _INPUTS)
     ):
         return LIB
+    # unlink first so the rebuilt library gets a NEW inode — dlopen of an
+    # in-place-truncated file can hand back the already-mapped old image,
+    # which defeats the rebuild-and-reload fallback in __init__._load
+    if os.path.exists(LIB):
+        os.remove(LIB)
     # -march=native: the .so is always built on the host it runs on
     # (first-use auto-build, never shipped). NO -ffast-math: the quantizer
     # is bit-exact against the numpy codec (quant.cpp header note).

@@ -154,7 +154,15 @@ def _prep_samples(samples: List[GranuleSample], tile: int):
             if hasattr(s, "lo"):   # quantized samples carry (lo, scale)
                 padded.lo, padded.scale = s.lo, s.scale
             s = padded
-        prepped.append((s, np.nonzero(s.mask)))
+        # "plume pixel" = mask above half, NOT merely nonzero: soft
+        # (distilled) labels are nonzero almost everywhere — a sigmoid
+        # only underflows to 0 below ~-88 — so nonzero would degenerate
+        # the 50% plume-centred draws to uniform and materialise an
+        # H·W index table. Threshold in the mask's own code (uint8
+        # masks encode 1.0 as 255) so float and quantized schedules
+        # keep drawing the same tiles.
+        half = 127.5 if s.mask.dtype == np.uint8 else 0.5
+        prepped.append((s, np.nonzero(s.mask > half)))
     return prepped
 
 

@@ -97,6 +97,12 @@ def distill_samples(
     if temperature <= 0.0:
         raise ValueError(f"distill temperature must be > 0, got "
                          f"{temperature}")
+    if alpha == 0.0:
+        # labels would come out identical — skip the teacher restore and
+        # the full-granule inference pass entirely
+        logger.warning("distill_alpha=0: labels unchanged, teacher at %s "
+                       "not loaded", teacher_ckpt_dir)
+        return list(samples)
     apply_fn, variables, cfg = load_teacher(teacher_ckpt_dir, prune_level)
     if samples and samples[0].channels.shape[-1] != cfg.in_channels:
         raise ValueError(

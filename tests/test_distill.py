@@ -63,6 +63,43 @@ def test_distill_blend_semantics(tmp_path):
         np.testing.assert_array_equal(sm.channels, s.channels)
 
 
+def test_soft_masks_keep_plume_biased_sampling():
+    """The tile sampler's plume index must threshold at 0.5, not nonzero:
+    teacher soft labels are nonzero almost everywhere, which would turn
+    the 50% plume-centred draws uniform (and build an H·W index table)."""
+    from plumekit.train.data import GranuleSample, _prep_samples
+
+    rng = np.random.default_rng(0)
+    soft = rng.uniform(0.01, 0.4, (64, 64)).astype(np.float32)
+    soft[10:20, 10:20] = 0.9  # the only true plume
+    s = GranuleSample(channels=rng.random((64, 64, 2), np.float32).astype(
+        np.float32), mask=soft)
+    [(_, (ys, xs))] = _prep_samples([s], tile=32)
+    assert ys.size == 100  # just the >0.5 block, not ~everything
+    assert ys.min() == 10 and ys.max() == 19
+
+    # uint8-coded (quantized) masks threshold in their own code
+    q = GranuleSample(channels=s.channels,
+                      mask=np.rint(soft * 255).astype(np.uint8))
+    [(_, (qys, qxs))] = _prep_samples([q], tile=32)
+    np.testing.assert_array_equal(qys, ys)
+    np.testing.assert_array_equal(qxs, xs)
+
+
+def test_distill_alpha_zero_skips_teacher(tmp_path):
+    """alpha=0 must not restore the teacher or run inference — the labels
+    are unchanged by construction."""
+    from plumekit.train.distill import distill_samples
+
+    samples = make_synthetic_dataset(DATA, train=True)
+    hard = [s.mask.copy() for s in samples]
+    # the checkpoint dir does not even exist: alpha=0 never touches it
+    out = distill_samples(samples, str(tmp_path / "no_such_ckpt"),
+                          alpha=0.0, infer_cfg=INFER)
+    for s, h in zip(out, hard):
+        np.testing.assert_array_equal(s.mask, h)
+
+
 def test_distill_temperature_softens(tmp_path):
     from plumekit.train.distill import distill_samples
 
