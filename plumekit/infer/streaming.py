@@ -80,6 +80,26 @@ from plumekit.ops.quant import (  # noqa: F401
     quantize_uint16,
 )
 
+# wrapper-program cache: stream_inference builds jit wrappers around the
+# caller's infer_fn (dequant / output-encode / vmap composition). A fresh
+# jax.jit PER CALL would re-trace on every invocation — measured ~1 s of
+# host time per stream on the 1152² program, which more than cancelled the
+# uint8-readback saving when first benchmarked. Keyed weakly on infer_fn
+# (its own jit cache persists alongside) then by the flag tuple.
+import weakref
+
+_PROGRAMS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_program(infer_fn, key, build):
+    try:
+        per_fn = _PROGRAMS.setdefault(infer_fn, {})
+    except TypeError:  # unhashable / un-weakref-able infer_fn
+        return build()
+    if key not in per_fn:
+        per_fn[key] = build()
+    return per_fn[key]
+
 
 def stream_inference(
     paths: Iterable[str],
@@ -197,7 +217,9 @@ def stream_inference(
             # documented contract (any infer_fn(variables, image) ->
             # (probs, mask)) includes host-side implementations that a
             # trace would break
-            run_one = jax.jit(run_one)
+            run_one = _cached_program(
+                infer_fn, ("one", quantize, quantize_output),
+                lambda f=run_one: jax.jit(f))
         for name, payload, (h, w) in stream:
             probs, _mask = run_one(variables, payload)
             yield name, readback(np.asarray(probs)[:h, :w])
@@ -221,10 +243,14 @@ def stream_inference(
             def run_group_fn(variables, payload):
                 probs, _masks = _fp_run_group(variables, payload)
                 return _quantize_probs(probs), ()
-        run_group = jax.jit(run_group_fn)
+        run_group = _cached_program(
+            infer_fn, ("batched", quantize, quantize_output),
+            lambda: jax.jit(run_group_fn))
     else:
         # run_one already carries the output encode when requested
-        run_group = jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
+        run_group = _cached_program(
+            infer_fn, ("group", quantize, quantize_output),
+            lambda: jax.jit(jax.vmap(run_one, in_axes=(None, 0))))
 
     def flush(group):
         n = len(group)
