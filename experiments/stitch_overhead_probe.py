@@ -28,6 +28,8 @@ p = argparse.ArgumentParser()
 p.add_argument("--cpu", action="store_true")
 p.add_argument("--bf16", action="store_true", help="flax bf16 forward "
                "instead of int8")
+p.add_argument("--arch", default="unet",
+               help="unet | unetpp[:ds[:pL]] (bench.py's ARCH syntax)")
 p.add_argument("--granule", type=int, default=8192)
 p.add_argument("--granules", type=int, default=4)
 p.add_argument("--tile", type=int, default=256)
@@ -55,7 +57,11 @@ from plumekit.train.state import create_state
 
 S, G, T, BT, R = (args.granule, args.granules, args.tile,
                   args.batch_tiles, args.repeats)
-cfg = UNetConfig()
+_parts = args.arch.split(":")
+cfg = UNetConfig(arch=_parts[0],
+                 deep_supervision="ds" in _parts[1:],
+                 prune_level=next((int(t[1:]) for t in _parts[1:]
+                                   if t.startswith("p")), None))
 state = create_state(jax.random.PRNGKey(0), cfg, TrainConfig(tile_size=T))
 variables = {"params": state.params}
 if state.batch_stats is not None:
@@ -63,8 +69,10 @@ if state.batch_stats is not None:
 
 rng = np.random.default_rng(0)
 if args.bf16:
-    apply_fn = UNet(cfg).apply
-    label = "bf16"
+    from plumekit.models import build_model
+
+    apply_fn = build_model(cfg).apply
+    label = f"bf16 {args.arch}"
 else:
     from plumekit.models.quantized_forward import (make_quantized_apply,
                                                    quantize_unet)
@@ -72,7 +80,7 @@ else:
     calib = jnp.asarray(rng.random((4, T, T, cfg.in_channels), np.float32))
     variables = quantize_unet(variables, cfg, calib)
     apply_fn = make_quantized_apply(cfg)
-    label = "int8"
+    label = f"int8 {args.arch}"
 
 icfg = InferConfig(tile_size=T, overlap=0, batch_tiles=BT)
 print(f"backend: {jax.default_backend()}  {label}  {G}x{S}^2  tile {T}/0  "
