@@ -188,8 +188,6 @@ def make_sliding_infer(
             w2 = tile + -(-(w - tile) // stride) * stride
             ny, nx, n, eff, padded_origins, weight2d_np, make_inv = \
                 _grid_and_weights(h2, w2, count_padding=False)
-            weight2d = jnp.asarray(weight2d_np)
-            inv_weight = make_inv(h, w)
             img = jnp.pad(image, ((0, h2 - h), (0, w2 - w), (0, 0)),
                           mode="edge")
             origins = jnp.asarray(padded_origins).reshape(-1, eff, 2)
@@ -197,6 +195,20 @@ def make_sliding_infer(
                 lambda c, o: (c, forward_batch(img, o)), 0, origins
             )
             probs_all = probs_all.reshape(-1, tile, tile)[:n]
+            if cfg.overlap == 0:
+                # fast tiling: stride == tile makes the taper identically 1
+                # (weight and inverse-weight canvases are exact ones — both
+                # multiplies drop out bit-for-bit) and every tile disjoint,
+                # so the whole assembly is ONE transpose+reshape instead of
+                # four padded parity-class embeds + adds — removes ~10
+                # canvas-sized HBM passes per granule at the 256/0 serving
+                # config
+                canvas = probs_all.reshape(ny, nx, tile, tile) \
+                    .transpose(0, 2, 1, 3).reshape(ny * tile, nx * tile)
+                probs = canvas[:h, :w]
+                return probs, probs > cfg.threshold
+            weight2d = jnp.asarray(weight2d_np)
+            inv_weight = make_inv(h, w)
             probs_all = probs_all.reshape(ny, nx, tile, tile) * weight2d
             pitch = 2 * stride
             canvas = jnp.zeros((h2 + pitch, w2 + pitch), jnp.float32)

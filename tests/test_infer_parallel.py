@@ -80,6 +80,32 @@ def test_sliding_infer_fast_tiling_disjoint(model_and_vars):
                 rtol=1e-5, atol=1e-5)
 
 
+def test_sliding_infer_fast_tiling_ragged_shape(model_and_vars):
+    """overlap=0 on a non-tile-multiple image: the single-reshape assembly
+    must reproduce the per-tile forwards of the edge-padded lattice and
+    crop back exactly (same replication semantics as the parity-class
+    path it replaced)."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(2)
+    image = rng.random((70, 52, 2)).astype(np.float32)
+    cfg = InferConfig(tile_size=48, overlap=0, batch_tiles=3)
+    infer = make_sliding_infer(model.apply, cfg, channels=2)
+    probs, mask = infer(variables, jnp.asarray(image))
+    assert probs.shape == (70, 52)
+    padded = np.pad(image, ((0, 96 - 70), (0, 96 - 52), (0, 0)),
+                    mode="edge")
+    expect = np.zeros((96, 96), np.float32)
+    for oy in (0, 48):
+        for ox in (0, 48):
+            tile = jnp.asarray(padded[oy:oy + 48, ox:ox + 48])[None]
+            expect[oy:oy + 48, ox:ox + 48] = np.asarray(jax.nn.sigmoid(
+                model.apply(variables, tile, train=False)[0, ..., 0]))
+    np.testing.assert_allclose(np.asarray(probs), expect[:70, :52],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  expect[:70, :52] > cfg.threshold)
+
+
 def test_sliding_infer_overlap_blend_smooth(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.default_rng(1)
