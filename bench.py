@@ -29,9 +29,10 @@ import numpy as np
 GRANULE = int(os.environ.get("PLUMEKIT_BENCH_GRANULE", "8192"))
 TILE = int(os.environ.get("PLUMEKIT_BENCH_TILE", "288"))
 # overlap 32 = config 3's overlap-blend semantics (the honest default).
-# TILE=256 OVERLAP=0 is the measured fast-tiling mode: 293.9 MPix/s at the
-# default granule config (+27.5% — the stitching redundancy removed) at a
-# measured ~0.07% seam mask-flip cost (docs/performance.md round-3 sweep)
+# TILE=256 OVERLAP=0 is the measured fast-tiling mode: 414.2 MPix/s int8 /
+# 293.9 bf16 at the default granule config (the stitching redundancy
+# removed + the single-reshape canvas assembly) at a measured ~0.07% seam
+# mask-flip cost (docs/performance.md round-3 sweep + assembly follow-up)
 OVERLAP = int(os.environ.get("PLUMEKIT_BENCH_OVERLAP", "32"))
 BATCH_TILES = int(os.environ.get("PLUMEKIT_BENCH_BATCH_TILES", "64"))
 REPEATS = int(os.environ.get("PLUMEKIT_BENCH_REPEATS", "3"))
