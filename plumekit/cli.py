@@ -465,6 +465,8 @@ def _build_serving(args, unet_cfg, variables):
     drives the calibration grid so serving it is deterministic regardless
     of ``--tile``). Raises :class:`_CliError` on invalid flag combinations.
     """
+    if getattr(args, "tuned", None):
+        _apply_tuned(args)
     use_int8, calib_tile = args.int8, args.tile
     if getattr(args, "exported", None):
         # AOT-exported serving artifact (plumekit.infer.export): the whole
@@ -514,12 +516,49 @@ def _build_serving(args, unet_cfg, variables):
             raise _CliError(f"--int8: {e}")
     else:
         apply_fn = model.apply
-    infer = make_sliding_infer(apply_fn,
-                               InferConfig(tile_size=args.tile,
-                                           overlap=args.overlap),
-                               channels=unet_cfg.in_channels)
+    infer = make_sliding_infer(
+        apply_fn,
+        InferConfig(tile_size=args.tile, overlap=args.overlap,
+                    batch_tiles=getattr(args, "batch_tiles", 64)),
+        channels=unet_cfg.in_channels)
     return infer, unet_cfg.depth, args.batch_granules, False, use_int8, \
         calib_tile
+
+
+def _apply_tuned(args) -> None:
+    """Resolve ``--tuned`` into the four geometry flags (tile, overlap,
+    batch_tiles, batch_granules) from a `plumekit tune` artifact. The
+    explicit flags are overridden by design: the artifact IS the
+    measurement the flags guess at."""
+    import json
+
+    from plumekit.infer.tune import TUNED_BASENAME, load_tuned
+
+    if getattr(args, "exported", None):
+        raise _CliError(
+            "--tuned and --exported are mutually exclusive: an exported "
+            "artifact's geometry is baked into its program")
+    tpath = args.tuned
+    if tpath == "auto":
+        tpath = os.path.join(args.root, PathsConfig().model_dir,
+                             TUNED_BASENAME)
+    try:
+        payload = load_tuned(tpath)
+    except FileNotFoundError:
+        raise _CliError(
+            f"--tuned: {tpath} not found — run `plumekit tune` first")
+    except (OSError, ValueError, json.JSONDecodeError) as e:
+        raise _CliError(f"--tuned: {e}")
+    best = payload["best"]
+    args.tile, args.overlap = best["tile"], best["overlap"]
+    args.batch_tiles = best["batch_tiles"]
+    args.batch_granules = best["granules"]
+    logger.info(
+        "tuned geometry from %s (measured %s on %s): tile %d/%d, "
+        "batch_tiles %d, G=%d — %.1f MPix/s",
+        tpath, payload.get("measured_utc"), payload.get("device_kind"),
+        args.tile, args.overlap, args.batch_tiles, args.batch_granules,
+        best.get("mpix_s") or float("nan"))
 
 
 def _int8_quantize_from_paths(granule_paths, tile, unet_cfg, variables,
@@ -680,6 +719,68 @@ def cmd_predict_model(args) -> int:
                   None) if args.plot else None
         _write_prediction(out_dir, name, probs, plot=args.plot,
                           granule_path=gp)
+    return 0
+
+
+def cmd_tune(args) -> int:
+    """Measure candidate serving geometries on the attached device and
+    persist the ranked table; ``predict_model/serve --tuned`` then serve
+    the winner (see :mod:`plumekit.infer.tune`). Runs on untrained
+    weights by default — throughput does not depend on the values — so
+    it works before any training has happened."""
+    import json
+
+    from plumekit.infer.tune import (DEFAULT_CANDIDATES, TUNED_BASENAME,
+                                     parse_candidates, save_tuned,
+                                     tune_geometry)
+    from plumekit.models import build_model
+
+    unet_cfg, variables = _restore_variables(args)
+    if args.int8:
+        import jax.numpy as jnp
+
+        from plumekit.models.quantized_forward import (make_quantized_apply,
+                                                       quantize_unet)
+
+        try:
+            apply_fn = make_quantized_apply(unet_cfg)
+        except ValueError as e:
+            logger.error("--int8: %s", e)
+            return 1
+        # synthetic calibration tiles: scale VALUES don't affect the
+        # timed program's structure (bench.py does the same); serving
+        # still calibrates on a real granule at predict/serve time
+        calib = jnp.asarray(np.random.default_rng(1).random(
+            (4, args.tile_calib, args.tile_calib, unet_cfg.in_channels),
+            np.float32))
+        variables = quantize_unet(variables, unet_cfg, calib)
+    else:
+        apply_fn = build_model(unet_cfg).apply
+    try:
+        granules = [int(x) for x in
+                    args.granules_per_program.split(",") if x.strip()]
+        geoms = parse_candidates(args.candidates or DEFAULT_CANDIDATES,
+                                 granules)
+    except ValueError as e:
+        logger.error("tune: %s", e)
+        return 1
+    try:
+        payload = tune_geometry(
+            apply_fn, variables, unet_cfg.in_channels, args.granule, geoms,
+            repeats=args.repeats,
+            progress=lambda msg: logger.info("tune: %s", msg))
+    except RuntimeError as e:
+        logger.error("tune: %s", e)
+        return 1
+    payload["int8"] = bool(args.int8)
+    payload["arch"] = unet_cfg.arch
+    out = args.out or os.path.join(args.root, PathsConfig().model_dir,
+                                   TUNED_BASENAME)
+    save_tuned(out, payload)
+    logger.info("tuned geometry written to %s", out)
+    best = payload["best"]
+    print(json.dumps({"best": best, "best_blended": payload["best_blended"],
+                      "out": out}))
     return 0
 
 
@@ -1149,6 +1250,15 @@ def build_parser() -> argparse.ArgumentParser:
                             "column L (heads 1..L averaged) — the paper's "
                             "pruned-inference speed/quality dial; L=depth "
                             "is the full model")
+        p.add_argument("--batch-tiles", type=int, default=64,
+                       help="tiles per device forward (the measured "
+                            "default; sweep with `plumekit tune`)")
+        p.add_argument("--tuned", nargs="?", const="auto", default=None,
+                       metavar="JSON",
+                       help="serve the geometry measured by `plumekit "
+                            "tune` (bare flag reads <root>/models/"
+                            "tuned_geometry.json); overrides --tile/"
+                            "--overlap/--batch-tiles/--batch-granules")
 
     pr = sub.add_parser("predict_model", help="sliding-window inference")
     _add_serving_args(pr)
@@ -1174,6 +1284,45 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip files whose mtime is younger than this "
                          "(still-uploading guard)")
     sv.set_defaults(fn=cmd_serve)
+
+    tn = sub.add_parser(
+        "tune",
+        help="measure candidate serving geometries (tile/overlap/"
+             "batch_tiles × granules-per-program) on the attached device "
+             "with the chained timing discipline and persist the winner "
+             "for predict_model/serve --tuned")
+    _add_root(tn)
+    tn.add_argument("--checkpoint", default=None,
+                    help="time this checkpoint's architecture (default: "
+                         "<root>/models/checkpoints if present, else "
+                         "untrained default weights — throughput does "
+                         "not depend on weight values)")
+    tn.add_argument("--int8", action="store_true",
+                    help="time the int8 quantized forward (the shipped "
+                         "serving default)")
+    tn.add_argument("--prune-level", type=int, default=None,
+                    help="time a UNet++ DS checkpoint truncated at "
+                         "fusion column L (see predict --prune-level)")
+    tn.add_argument("--granule", type=int, default=2048,
+                    help="square granule size to tune at — use your "
+                         "production granule geometry (the optimum is "
+                         "size-dependent: small granules are "
+                         "dispatch-bound)")
+    tn.add_argument("--granules-per-program", default="1,2,4",
+                    help="comma list of G values to sweep (granules "
+                         "batched per dispatched program)")
+    tn.add_argument("--candidates", default=None,
+                    help="comma list of tile/overlap[/batch_tiles] "
+                         "candidates (default: the BASELINE.md round-3 "
+                         "sweep grid)")
+    tn.add_argument("--repeats", type=int, default=3,
+                    help="chained pipeline executions per timing sample")
+    tn.add_argument("--tile-calib", type=int, default=288,
+                    help="int8 calibration tile size (structure only)")
+    tn.add_argument("--out", default=None,
+                    help="artifact path (default <root>/models/"
+                         "tuned_geometry.json)")
+    tn.set_defaults(fn=cmd_tune)
 
     ex = sub.add_parser("export_model",
                         help="AOT-export inference to a serving artifact "
