@@ -1081,11 +1081,35 @@ def cmd_select(args) -> int:
             logger.info("%s: kept %d / rejected %d plume rows", base,
                         len(kept), len(rejected))
         else:
+            scores = None
+            if args.rank_with_predictions is not None:
+                scores = _curation_scores(args, paths, base, hull_df)
             out_dir = os.path.join(args.root, "review", base)
-            manifest = export_review_batch(hull_df, granule, out_dir)
-            logger.info("%s: %d plumes staged for review in %s", base,
-                        len(manifest), out_dir)
+            manifest = export_review_batch(hull_df, granule, out_dir,
+                                           scores=scores)
+            logger.info("%s: %d plumes staged for review in %s%s", base,
+                        len(manifest), out_dir,
+                        " (model-ranked)" if scores is not None else "")
     return 0
+
+
+def _curation_scores(args, paths, base, hull_df):
+    """Per-plume model-support scores for ``select --rank-with-predictions``
+    (:mod:`plumekit.label.ranking`), or None with a warning when the
+    granule has no saved prediction — the queue then falls back to file
+    order rather than failing the whole export."""
+    from plumekit.label import load_plume_masks, load_prediction, \
+        plume_support
+
+    pred_dir = args.rank_with_predictions or paths.resolve("predictions_dir")
+    probs = load_prediction(pred_dir, base)
+    if probs is None:
+        logger.warning(
+            "%s: no prediction in %s — review queue stays in file order "
+            "(run predict_model first to rank it)", base, pred_dir)
+        return None
+    masks = load_plume_masks(paths.resolve("plume_mask_dir"), base)
+    return plume_support(probs, hull_df, masks)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1392,6 +1416,16 @@ def build_parser() -> argparse.ArgumentParser:
     _add_root(s)
     s.add_argument("--decisions", default=None,
                    help="CSV with id,datetime,keep columns")
+    s.add_argument("--rank-with-predictions", nargs="?", const="",
+                   default=None, metavar="DIR",
+                   help="order each review manifest most-suspect-first by "
+                        "model support: mean predict_model probability "
+                        "over each plume's pixels (bare flag reads "
+                        "<root>/processed/predictions; see "
+                        "plumekit.label.ranking — a model trained on the "
+                        "weak labels disbelieves the mislabeled plumes "
+                        "most, so a curation budget spent down this queue "
+                        "removes more false plumes per decision)")
     s.set_defaults(fn=cmd_select)
 
     rp = sub.add_parser("report",

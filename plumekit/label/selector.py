@@ -155,12 +155,17 @@ def apply_decisions(
     hull_df: pd.DataFrame,
     granule: Granule,
     decide: Callable[[PlumeReview], bool],
+    scores: Optional[pd.DataFrame] = None,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Run review; split the (deduplicated) hull dataframe into (kept,
     rejected) by ``decide`` — auto-rejected plumes never reach ``decide``
-    (reference: zero-bin plumes are skipped before display)."""
+    (reference: zero-bin plumes are skipped before display). ``scores``
+    orders the ``decide`` calls most-suspect-first (interactive sessions
+    under a budget see the likeliest false plumes before fatigue sets
+    in); the returned split is order-independent."""
     hull_df = remove_duplicated_plumes(hull_df)
-    reviews = review_plumes(hull_df, granule, dedup=False)
+    reviews = order_reviews(review_plumes(hull_df, granule, dedup=False),
+                            scores)
     kept_keys = {
         (r.plume_id, r.datetime)
         for r in reviews
@@ -171,22 +176,49 @@ def apply_decisions(
     return hull_df[mask], hull_df[~mask]
 
 
+def order_reviews(reviews: List[PlumeReview],
+                  scores: Optional[pd.DataFrame]) -> List[PlumeReview]:
+    """Reviews in queue order: file order without scores (the reference's
+    ordering), most-suspect-first with them (ascending model support,
+    unscored plumes at the head — :mod:`plumekit.label.ranking`)."""
+    if scores is None:
+        return reviews
+    from plumekit.label.ranking import review_order
+
+    pos = {key: i for i, key in enumerate(review_order(scores))}
+    return sorted(reviews,
+                  key=lambda r: pos.get((r.plume_id, r.datetime),
+                                        len(pos)))
+
+
 def export_review_batch(
     hull_df: pd.DataFrame,
     granule: Granule,
     out_dir: str,
+    scores: Optional[pd.DataFrame] = None,
 ) -> pd.DataFrame:
     """Write per-plume review artifacts (PNG crop + histogram) and a manifest
     CSV with a blank ``keep`` column for humans to fill; returns the
-    manifest."""
+    manifest.
+
+    With ``scores`` (a :func:`plumekit.label.ranking.plume_support` frame)
+    the manifest is ordered most-suspect-first and carries the
+    ``model_support`` column — curators working down the file spend their
+    budget on the plumes the model disbelieves."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    support = {}
+    if scores is not None:
+        from plumekit.label.ranking import SUPPORT_COL
+
+        support = {(int(r.id), str(r.datetime)): getattr(r, SUPPORT_COL)
+                   for r in scores.itertuples()}
     os.makedirs(out_dir, exist_ok=True)
     rows = []
-    for r in review_plumes(hull_df, granule):
+    for r in order_reviews(review_plumes(hull_df, granule), scores):
         # crop-less plumes (NaN hulls) get no PNG: the manifest column is
         # empty rather than naming a file that was never written
         png = (f"{granule.name}_{r.datetime}_{r.plume_id}.png"
@@ -199,18 +231,22 @@ def export_review_batch(
             ax1.hist(r.in_plume_aod, bins=HIST_BINS)
             fig.savefig(os.path.join(out_dir, png), bbox_inches="tight")
             plt.close(fig)
-        rows.append(
-            {"id": r.plume_id, "datetime": r.datetime, "png": png,
-             "auto_rejected": r.auto_rejected, "keep": ""}
-        )
+        row = {"id": r.plume_id, "datetime": r.datetime, "png": png,
+               "auto_rejected": r.auto_rejected, "keep": ""}
+        if scores is not None:
+            row["model_support"] = support.get((r.plume_id, r.datetime),
+                                               float("nan"))
+        rows.append(row)
     manifest = pd.DataFrame(rows)
     manifest.to_csv(os.path.join(out_dir, "manifest.csv"), index=False)
     return manifest
 
 
-def interactive_review(hull_df: pd.DataFrame, granule: Granule):
+def interactive_review(hull_df: pd.DataFrame, granule: Granule,
+                       scores: Optional[pd.DataFrame] = None):
     """Reference-style blocking review: '1' keeps, '0' rejects
-    (``plume_selector.py:118-134``)."""
+    (``plume_selector.py:118-134``); ``scores`` presents plumes
+    most-suspect-first (:func:`apply_decisions`)."""
     import matplotlib.pyplot as plt
 
     def decide(r: PlumeReview) -> bool:
@@ -231,4 +267,4 @@ def interactive_review(hull_df: pd.DataFrame, granule: Granule):
         plt.show()
         return decision.get("keep", False)
 
-    return apply_decisions(hull_df, granule, decide)
+    return apply_decisions(hull_df, granule, decide, scores=scores)
