@@ -233,31 +233,12 @@ def bench_torch_cpu() -> float:
 def _probe_backend(attempts: int = 4, probe_timeout: int = 180,
                    backoff: int = 120) -> None:
     """Bounded SUBPROCESS probe of the TPU backend before committing this
-    process to it. Round-3 finding: when the tunnel is down, in-process
-    backend init blocks ~25 minutes before raising UNAVAILABLE and the
-    failure is then cached for the process — a cheap subprocess probe with
-    retries rides out a transient outage in minutes instead, and a real
-    outage fails fast with a clear message."""
-    import subprocess
+    process to it (canonical implementation:
+    :func:`plumekit.utils.backend.probe_backend` — shared with
+    `plumekit tune` and the experiment harnesses)."""
+    from plumekit.utils.backend import probe_backend
 
-    last = ""
-    for i in range(attempts):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_timeout, capture_output=True, text=True)
-            if r.returncode == 0:
-                return
-            last = (r.stderr or "").strip().splitlines()[-1:] or [""]
-            last = last[0]
-        except subprocess.TimeoutExpired:
-            last = f"backend init exceeded {probe_timeout}s"
-        print(f"backend probe {i + 1}/{attempts} failed: {last}",
-              file=sys.stderr)
-        if i + 1 < attempts:
-            time.sleep(backoff)
-    raise RuntimeError(
-        f"TPU backend unreachable after {attempts} probes: {last}")
+    probe_backend(attempts, probe_timeout, backoff)
 
 
 def main() -> int:

@@ -73,6 +73,11 @@ jax.config.update("jax_compilation_cache_dir",
                   else "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+if not args.cpu:
+    from plumekit.utils.backend import probe_backend
+
+    probe_backend()   # bounded subprocess probe before committing to init
+
 from plumekit.config.identify import RGIdentifyConfig
 from plumekit.config.train import (DataConfig, InferConfig, TrainConfig,
                                    UNetConfig)

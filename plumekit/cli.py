@@ -466,7 +466,7 @@ def _build_serving(args, unet_cfg, variables):
     of ``--tile``). Raises :class:`_CliError` on invalid flag combinations.
     """
     if getattr(args, "tuned", None):
-        _apply_tuned(args)
+        _apply_tuned(args, unet_cfg)
     use_int8, calib_tile = args.int8, args.tile
     if getattr(args, "exported", None):
         # AOT-exported serving artifact (plumekit.infer.export): the whole
@@ -525,11 +525,14 @@ def _build_serving(args, unet_cfg, variables):
         calib_tile
 
 
-def _apply_tuned(args) -> None:
+def _apply_tuned(args, unet_cfg=None) -> None:
     """Resolve ``--tuned`` into the four geometry flags (tile, overlap,
     batch_tiles, batch_granules) from a `plumekit tune` artifact. The
     explicit flags are overridden by design: the artifact IS the
-    measurement the flags guess at."""
+    measurement the flags guess at. Warns (but still applies) when the
+    artifact was measured for a different forward — the optimum is
+    forward-dependent (int8 vs bf16 and the architectures have different
+    measured optima, BASELINE.md), so the operator should re-tune."""
     import json
 
     from plumekit.infer.tune import TUNED_BASENAME, load_tuned
@@ -549,6 +552,16 @@ def _apply_tuned(args) -> None:
             f"--tuned: {tpath} not found — run `plumekit tune` first")
     except (OSError, ValueError, json.JSONDecodeError) as e:
         raise _CliError(f"--tuned: {e}")
+    for field, want, label in (
+            ("int8", bool(getattr(args, "int8", False)), "forward"),
+            ("arch", getattr(unet_cfg, "arch", None), "architecture")):
+        have = payload.get(field)
+        if have is not None and want is not None and have != want:
+            logger.warning(
+                "--tuned: artifact was measured with %s=%s but serving "
+                "%s=%s — the optimum is %s-dependent, re-run `plumekit "
+                "tune` for this configuration", field, have, field, want,
+                label)
     best = payload["best"]
     args.tile, args.overlap = best["tile"], best["overlap"]
     args.batch_tiles = best["batch_tiles"]
@@ -734,6 +747,17 @@ def cmd_tune(args) -> int:
                                      parse_candidates, save_tuned,
                                      tune_geometry)
     from plumekit.models import build_model
+    from plumekit.utils.backend import probe_backend, should_probe
+
+    if should_probe():
+        # the sweep is a long TPU run: probe the tunneled backend in a
+        # bounded subprocess first instead of blocking ~25 min in-process
+        # on an outage (the round-3 lesson, CLAUDE.md)
+        try:
+            probe_backend()
+        except RuntimeError as e:
+            logger.error("tune: %s", e)
+            return 1
 
     unet_cfg, variables = _restore_variables(args)
     if args.int8:
@@ -1109,7 +1133,15 @@ def _curation_scores(args, paths, base, hull_df):
             "(run predict_model first to rank it)", base, pred_dir)
         return None
     masks = load_plume_masks(paths.resolve("plume_mask_dir"), base)
-    return plume_support(probs, hull_df, masks)
+    try:
+        return plume_support(probs, hull_df, masks)
+    except Exception as e:
+        # a stale prediction (wrong granule size) or malformed artifact
+        # must not abort the whole export — this granule just stays in
+        # file order
+        logger.warning("%s: scoring failed (%s: %s) — review queue stays "
+                       "in file order", base, type(e).__name__, e)
+        return None
 
 
 def build_parser() -> argparse.ArgumentParser:

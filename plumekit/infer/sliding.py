@@ -101,6 +101,14 @@ def make_sliding_infer(
         raise ValueError(
             f"overlap ({cfg.overlap}) must be smaller than tile_size "
             f"({tile}): the sliding stride would be {stride}")
+    if cfg.overlap < 0:
+        # stride > tile leaves uncovered stripes whose weight canvas is 0
+        # → probs silently 0 there; and the geometry times FASTER than any
+        # valid one, so a tuner sweep would rank it best
+        raise ValueError(
+            f"overlap must be >= 0, got {cfg.overlap}: a negative overlap "
+            "leaves gap stripes between tiles that would be silently "
+            "scored 0")
 
     def _grid_and_weights(h, w, count_padding: bool):
         """Static per-shape geometry: origins (batch-padded), weight-canvas

@@ -84,17 +84,22 @@ from plumekit.ops.quant import (  # noqa: F401
 # caller's infer_fn (dequant / output-encode / vmap composition). A fresh
 # jax.jit PER CALL would re-trace on every invocation — measured ~1 s of
 # host time per stream on the 1152² program, which more than cancelled the
-# uint8-readback saving when first benchmarked. Keyed weakly on infer_fn
-# (its own jit cache persists alongside) then by the flag tuple.
-import weakref
-
-_PROGRAMS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
+# uint8-readback saving when first benchmarked. Keyed on infer_fn (its
+# own jit cache persists alongside) then by the flag tuple.
 
 def _cached_program(infer_fn, key, build):
+    """Per-``infer_fn`` program cache, stored ON the function object.
+
+    The wrappers built here close over ``infer_fn``, so a global registry
+    — even a WeakKeyDictionary — would keep every entry alive forever
+    (the value strongly references its own key). Hanging the dict off
+    ``infer_fn.__dict__`` ties the compiled programs' lifetime to the
+    function itself: when the caller drops its infer program, the
+    wrappers (a pure, gc-collectable cycle) go with it. Callables
+    without a ``__dict__`` (rare: bound builtins) just skip caching."""
     try:
-        per_fn = _PROGRAMS.setdefault(infer_fn, {})
-    except TypeError:  # unhashable / un-weakref-able infer_fn
+        per_fn = infer_fn.__dict__.setdefault("_plumekit_programs", {})
+    except AttributeError:
         return build()
     if key not in per_fn:
         per_fn[key] = build()

@@ -85,9 +85,10 @@ def parse_candidates(spec: str,
                 f"candidate {part!r}: expected tile/overlap[/batch_tiles]")
         tile, overlap = int(fields[0]), int(fields[1])
         bt = int(fields[2]) if len(fields) == 3 else 64
-        if overlap >= tile:
+        if not 0 <= overlap < tile:
             raise ValueError(
-                f"candidate {part!r}: overlap must be < tile")
+                f"candidate {part!r}: overlap must be in [0, tile) — "
+                "negative overlaps leave unscored gap stripes")
         if tile < 1 or bt < 1:
             raise ValueError(f"candidate {part!r}: sizes must be >= 1")
         for g in granules:
@@ -165,11 +166,17 @@ def tune_geometry(apply_fn: Callable, variables, channels: int,
     say = progress or (lambda msg: logger.info("%s", msg))
     g_max = max(g.granules for g in geoms)
     rng = np.random.default_rng(0)
-    image_stack = jnp.asarray(
-        rng.random((g_max, granule, granule, channels), np.float32))
+    # host-side base stack; each candidate stages ONLY its G granules and
+    # frees them after timing — a resident max-G stack would pressure (or
+    # OOM) the smaller candidates it shares HBM with, and staging must sit
+    # INSIDE the per-candidate try so an oversized G records as a failure
+    # instead of aborting the sweep
+    host_stack = rng.random((g_max, granule, granule, channels), np.float32)
     results = []
     for geom in geoms:
+        image_stack = None
         try:
+            image_stack = jnp.asarray(host_stack[: geom.granules])
             rate = time_geometry(apply_fn, variables, image_stack, geom,
                                  channels, repeats)
             results.append({**dataclasses.asdict(geom),
@@ -179,6 +186,9 @@ def tune_geometry(apply_fn: Callable, variables, channels: int,
             results.append({**dataclasses.asdict(geom), "mpix_s": None,
                             "error": f"{type(e).__name__}: {e}"})
             say(f"{geom.label()}: FAILED ({type(e).__name__})")
+        finally:
+            if image_stack is not None:
+                image_stack.delete()
     ranked = sorted(results,
                     key=lambda r: -(r["mpix_s"] if r["mpix_s"] else 0.0))
     if ranked[0]["mpix_s"] is None:
@@ -206,10 +216,12 @@ def tune_geometry(apply_fn: Callable, variables, channels: int,
 
 
 def save_tuned(path: str, payload: dict) -> None:
-    """Atomic write (tmp + ``os.replace``): a concurrent serve restart
-    must never read a torn artifact."""
+    """Atomic write (pid-suffixed tmp + ``os.replace``): a concurrent
+    serve restart must never read a torn artifact, and two concurrent
+    tuners must not share a tmp name (a fixed name lets writer B publish
+    while writer A still holds the fd and corrupts the live file)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=2)
     os.replace(tmp, path)

@@ -63,13 +63,22 @@ def plume_support(
         mask = None
         if masks is not None:
             m = masks.get(str(int(pid)))
-            if m is not None:
+            if m is not None and m.shape == probs.shape:
                 mask = np.asarray(m, dtype=bool)
+            elif m is not None:
+                logger.warning(
+                    "plume %s: device mask shape %s != prediction %s "
+                    "(stale artifact?) — scoring the hull instead",
+                    pid, m.shape, probs.shape)
         if mask is None:
             mask = rasterize_hulls(g, probs.shape)
         n = int(mask.sum())
         support = float(probs[mask].mean()) if n else float("nan")
-        rows.append({"id": int(pid), "datetime": dt,
+        # datetime normalised to str: every downstream key join
+        # (review_order, the selector's support lookup, the decisions CSV)
+        # uses string keys, and a numeric-parsed CSV column would
+        # otherwise silently miss every lookup
+        rows.append({"id": int(pid), "datetime": str(dt),
                      SUPPORT_COL: support, "n_pixels": n})
     return pd.DataFrame(rows,
                         columns=["id", "datetime", SUPPORT_COL, "n_pixels"])
@@ -100,14 +109,6 @@ def load_plume_masks(mask_dir: str, base: str) -> Optional[dict]:
         return None
     with np.load(path) as data:
         return {k: data[k].copy() for k in data.files}
-
-
-def attach_support(hull_df: pd.DataFrame,
-                   scores: pd.DataFrame) -> pd.DataFrame:
-    """Left-join the support scores onto ``hull_df`` rows (every hull
-    vertex row of a plume carries its plume's score)."""
-    return hull_df.merge(scores[["id", "datetime", SUPPORT_COL]],
-                         on=["id", "datetime"], how="left")
 
 
 def review_order(scores: pd.DataFrame) -> list:

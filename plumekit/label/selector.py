@@ -186,8 +186,10 @@ def order_reviews(reviews: List[PlumeReview],
     from plumekit.label.ranking import review_order
 
     pos = {key: i for i, key in enumerate(review_order(scores))}
+    # str() on the lookup side too: PlumeReview carries the raw hull_df
+    # datetime, which a numeric CSV column parses as int64/float
     return sorted(reviews,
-                  key=lambda r: pos.get((r.plume_id, r.datetime),
+                  key=lambda r: pos.get((r.plume_id, str(r.datetime)),
                                         len(pos)))
 
 
@@ -234,8 +236,8 @@ def export_review_batch(
         row = {"id": r.plume_id, "datetime": r.datetime, "png": png,
                "auto_rejected": r.auto_rejected, "keep": ""}
         if scores is not None:
-            row["model_support"] = support.get((r.plume_id, r.datetime),
-                                               float("nan"))
+            row["model_support"] = support.get(
+                (r.plume_id, str(r.datetime)), float("nan"))
         rows.append(row)
     manifest = pd.DataFrame(rows)
     manifest.to_csv(os.path.join(out_dir, "manifest.csv"), index=False)

@@ -154,3 +154,26 @@ def test_cli_select_ranked(tmp_path, toy_granule, probs):
     assert main(["select", "--root", root, "--rank-with-predictions"]) == 0
     manifest = pd.read_csv(tmp_path / "review/toy/manifest.csv")
     assert SUPPORT_COL not in manifest.columns
+
+
+def test_ranking_with_numeric_datetime_column(tmp_path, toy_granule, probs):
+    """A hull CSV whose datetime column parses numeric must still rank
+    (keys are str-normalised on both sides of every join)."""
+    df = pd.concat([_square_hull(50, 50, 9, 0, dt=0),
+                    _square_hull(100, 30, 9, 1, dt=0)], ignore_index=True)
+    granule = Granule(layers={"0": toy_granule.layers["t0"]},
+                      lat=toy_granule.lat, lon=toy_granule.lon, name="toy")
+    scores = plume_support(probs, df)
+    assert scores.datetime.map(type).eq(str).all()
+    manifest = export_review_batch(df, granule, str(tmp_path),
+                                   scores=scores)
+    assert list(manifest.id) == [1, 0]
+    assert manifest[SUPPORT_COL].notna().all()
+
+
+def test_plume_support_stale_shape_falls_back_to_hull(probs):
+    df = _square_hull(50, 50, 9, 0)
+    stale = np.zeros((64, 64), bool)   # wrong-resolution device mask
+    stale[10:20, 10:20] = True
+    scores = plume_support(probs, df, masks={"0": stale})
+    assert scores[SUPPORT_COL].iloc[0] > 0.8   # hull, not the stale mask

@@ -33,6 +33,8 @@ def test_parse_candidates():
     with pytest.raises(ValueError):
         parse_candidates("32")                    # malformed
     with pytest.raises(ValueError):
+        parse_candidates("256/-32")               # gap stripes
+    with pytest.raises(ValueError):
         parse_candidates("32/0/0")                # zero batch
     with pytest.raises(ValueError):
         parse_candidates("32/0", granules=(0,))   # zero G
@@ -99,7 +101,7 @@ def test_save_load_tuned_roundtrip_and_validation(tmp_path):
     p = str(tmp_path / "models" / "t.json")     # exercises the mkdir
     save_tuned(p, payload)
     assert load_tuned(p)["best"]["tile"] == 32
-    assert not os.path.exists(p + ".tmp")
+    assert not list((tmp_path / "models").glob("*.tmp"))
 
     save_tuned(p, dict(payload, version=99))
     with pytest.raises(ValueError, match="version"):
@@ -184,3 +186,58 @@ def test_cli_tune_bad_candidates(tmp_path):
 
     assert cli_main(["tune", "--root", str(tmp_path), "--granule", "64",
                      "--candidates", "32/64"]) == 1
+
+
+def test_apply_tuned_warns_on_forward_mismatch(tmp_path, caplog):
+    """An artifact measured for a different forward/architecture still
+    applies but warns (the optimum is forward-dependent)."""
+    import logging
+
+    from plumekit.cli import _apply_tuned
+    from plumekit.config.train import UNetConfig
+    from plumekit.infer.tune import TUNED_BASENAME
+
+    best = {"tile": 32, "overlap": 0, "batch_tiles": 4, "granules": 2,
+            "mpix_s": 1.0}
+    path = os.path.join(str(tmp_path), "models", TUNED_BASENAME)
+    save_tuned(path, {"version": TUNED_VERSION, "best": best,
+                      "results": [best], "best_blended": None,
+                      "int8": True, "arch": "unet"})
+    args = Namespace(root=str(tmp_path), tuned="auto", exported=None,
+                     int8=False, tile=288, overlap=32, batch_tiles=64,
+                     batch_granules=1)
+    with caplog.at_level(logging.WARNING, logger="plumekit.cli"):
+        _apply_tuned(args, UNetConfig(arch="unetpp"))
+    text = caplog.text
+    assert "int8=True" in text and "arch=unet" in text
+    assert args.tile == 32          # still applied
+
+
+def test_sliding_rejects_negative_overlap():
+    from plumekit.config.train import InferConfig
+    from plumekit.infer import make_sliding_infer
+
+    with pytest.raises(ValueError, match="gap stripes"):
+        make_sliding_infer(lambda v, x, train=False: x[..., :1],
+                           InferConfig(tile_size=32, overlap=-8),
+                           channels=2)
+
+
+def test_cached_program_collectable_with_fn():
+    """The per-infer_fn program cache must not outlive the function: the
+    wrappers close over infer_fn, so a global registry would leak every
+    compiled program (the WeakKeyDictionary value-references-key trap)."""
+    import gc
+    import weakref
+
+    from plumekit.infer.streaming import _cached_program
+
+    def infer_fn(v, x):
+        return x, x
+
+    built = _cached_program(infer_fn, ("k",), lambda: object())
+    assert _cached_program(infer_fn, ("k",), lambda: object()) is built
+    ref = weakref.ref(infer_fn)
+    del infer_fn, built
+    gc.collect()
+    assert ref() is None
