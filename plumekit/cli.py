@@ -471,6 +471,11 @@ def _build_serving(args, unet_cfg, variables):
     if getattr(args, "exported", None):
         # AOT-exported serving artifact (plumekit.infer.export): the whole
         # inference program is deserialized StableHLO — no model re-trace
+        if getattr(args, "tta", False):
+            raise _CliError(
+                "--tta and --exported are mutually exclusive: the exported "
+                "program's forward is baked in — export with `export_model "
+                "--tta` to ship a TTA artifact")
         from plumekit.infer.export import load_exported
 
         infer, meta = load_exported(args.exported)
@@ -516,6 +521,12 @@ def _build_serving(args, unet_cfg, variables):
             raise _CliError(f"--int8: {e}")
     else:
         apply_fn = model.apply
+    if getattr(args, "tta", False):
+        # D4-averaged forward (8 views folded into ONE tile batch);
+        # composes with every forward above — see plumekit.infer.tta
+        from plumekit.infer.tta import make_tta_apply
+
+        apply_fn = make_tta_apply(apply_fn)
     infer = make_sliding_infer(
         apply_fn,
         InferConfig(tile_size=args.tile, overlap=args.overlap,
@@ -965,6 +976,7 @@ def cmd_export_model(args) -> int:
             platforms=[p.strip() for p in args.platforms.split(",")
                        if p.strip()],
             forward="int8" if args.int8 else "flax",
+            tta=getattr(args, "tta", False),
         )
     except ValueError as e:
         logger.error("export failed: %s", e)
@@ -1282,6 +1294,15 @@ def build_parser() -> argparse.ArgumentParser:
                             "+ activations on the MXU s8 path, 2x the bf16 "
                             "rate on v5e); calibrated on the first granule. "
                             "See models/quantized_forward.py")
+        p.add_argument("--tta", action="store_true",
+                       help="D4 test-time augmentation: average plume "
+                            "probabilities over the 8 rotation/flip views "
+                            "of every tile, folded into one forward at 8x "
+                            "the batch — the serving menu's "
+                            "more-quality-for-more-compute dial (composes "
+                            "with --int8/--prune-level; measured in "
+                            "BASELINE.md). Consider lowering --batch-tiles "
+                            "if memory is tight")
         p.add_argument("--batch-granules", type=int, default=2,
                        help="granules per dispatched program (same-shape "
                             "groups vmapped; the per-program dispatch tax "
@@ -1406,6 +1427,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="export the UNet++ grid truncated at fusion "
                          "column L (deep-supervision checkpoints; see "
                          "predict_model --prune-level)")
+    ex.add_argument("--tta", action="store_true",
+                    help="bake D4 test-time augmentation into the exported "
+                         "program (8 views per tile, one folded forward; "
+                         "see predict_model --tta)")
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets (export once, "
                          "serve on any listed backend)")

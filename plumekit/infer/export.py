@@ -53,6 +53,7 @@ def export_sliding_infer(
     granules: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
     forward: str = "flax",
+    tta: bool = False,
 ):
     """Lower the full inference program for a fixed granule geometry.
 
@@ -103,6 +104,12 @@ def export_sliding_infer(
         apply_fn = build_model(unet_cfg).apply
     else:
         raise ValueError(f"forward must be 'flax' or 'int8', got {forward!r}")
+    if tta:
+        # D4-averaged forward baked into the artifact (calling convention
+        # unchanged — TTA is a pure apply wrapper); see plumekit.infer.tta
+        from plumekit.infer.tta import make_tta_apply
+
+        apply_fn = make_tta_apply(apply_fn)
 
     if granules > 1:
         fn = make_multi_granule_infer(apply_fn, infer_cfg,
@@ -123,6 +130,7 @@ def export_sliding_infer(
 
     meta = {
         "forward": forward,
+        "tta": bool(tta),              # informational: baked into the program
         "format_version": 2 if forward == "int8" else 1,
         "granule_hw": [int(h), int(w)],
         "granules": int(granules),
