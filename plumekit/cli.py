@@ -13,12 +13,30 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 from typing import List, Optional
 
 import numpy as np
 
 from plumekit.config import PathsConfig
 from plumekit.utils import get_logger
+
+#: calibrated serving threshold artifact under <root>/models/
+#: (written by `evaluate_model --sweep-threshold ... --write-threshold`,
+#: read automatically by predict/serve when --threshold is not given)
+THRESHOLD_BASENAME = "threshold.json"
+
+
+def _write_json_atomic(path: str, payload: dict) -> None:
+    """pid-suffixed tmp + os.replace: concurrent readers never see a torn
+    artifact, concurrent writers never share a tmp."""
+    import json
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, path)
 
 logger = get_logger("plumekit.cli")
 
@@ -476,6 +494,11 @@ def _build_serving(args, unet_cfg, variables):
                 "--tta and --exported are mutually exclusive: the exported "
                 "program's forward is baked in — export with `export_model "
                 "--tta` to ship a TTA artifact")
+        if getattr(args, "threshold", None) is not None:
+            logger.warning(
+                "--threshold is baked into exported programs at export "
+                "time (export_model --threshold); the flag does not "
+                "change this artifact's masks")
         from plumekit.infer.export import load_exported
 
         infer, meta = load_exported(args.exported)
@@ -530,10 +553,40 @@ def _build_serving(args, unet_cfg, variables):
     infer = make_sliding_infer(
         apply_fn,
         InferConfig(tile_size=args.tile, overlap=args.overlap,
-                    batch_tiles=getattr(args, "batch_tiles", 64)),
+                    batch_tiles=getattr(args, "batch_tiles", 64),
+                    threshold=_resolve_threshold(args)),
         channels=unet_cfg.in_channels)
     return infer, unet_cfg.depth, args.batch_granules, False, use_int8, \
         calib_tile
+
+
+def _resolve_threshold(args) -> float:
+    """Serving mask threshold: the explicit ``--threshold`` flag wins;
+    otherwise the calibrated artifact ``<root>/models/threshold.json``
+    (``evaluate_model --sweep-threshold --write-threshold``) if present,
+    with an info log so the operating point is never silent; else the
+    reference-era default 0.5."""
+    import json
+
+    t = getattr(args, "threshold", None)
+    if t is not None:
+        return float(t)
+    path = os.path.join(args.root, PathsConfig().model_dir,
+                        THRESHOLD_BASENAME)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+            t = float(payload["threshold"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError) as e:
+            logger.warning("%s unreadable (%s) — serving threshold 0.5",
+                           path, e)
+            return 0.5
+        logger.info("serving calibrated threshold %.2f from %s (dev %s="
+                    "%s; --threshold 0.5 restores the default)", t, path,
+                    payload.get("metric"), payload.get("value"))
+        return t
+    return 0.5
 
 
 def _apply_tuned(args, unet_cfg=None) -> None:
@@ -968,7 +1021,8 @@ def cmd_export_model(args) -> int:
         logger.info("granule padded to (%d, %d) for 2**depth divisibility",
                     h, w)
     icfg = InferConfig(tile_size=args.tile, overlap=args.overlap,
-                       batch_tiles=args.batch_tiles)
+                       batch_tiles=args.batch_tiles,
+                       threshold=_resolve_threshold(args))
     try:
         exported, meta = export_sliding_infer(
             variables, unet_cfg, icfg, (h, w),
@@ -1001,10 +1055,8 @@ def cmd_evaluate_model(args) -> int:
     paths = PathsConfig(root=args.root)
     data_dir = args.data or paths.resolve("model_data_dir")
     out_csv = args.out or paths.resolve("evaluation_csv")
-    if args.predictions:
-        df = evaluate_predictions(args.predictions, data_dir,
-                                  threshold=args.threshold)
-    else:
+    infer = None
+    if not args.predictions:
         from plumekit.config.train import InferConfig
         from plumekit.infer import make_sliding_infer
         from plumekit.models import build_model
@@ -1014,6 +1066,44 @@ def cmd_evaluate_model(args) -> int:
                                    InferConfig(tile_size=args.tile,
                                                overlap=args.overlap),
                                    channels=unet_cfg.in_channels)
+
+    if args.sweep_threshold:
+        from plumekit.train.evaluate import (best_threshold,
+                                             inference_prob_pairs,
+                                             prediction_prob_pairs,
+                                             sweep_thresholds)
+
+        pairs = (prediction_prob_pairs(args.predictions, data_dir)
+                 if args.predictions
+                 else inference_prob_pairs(infer, variables, data_dir))
+        sweep = sweep_thresholds(pairs)
+        sweep_csv = os.path.join(os.path.dirname(out_csv) or ".",
+                                 "threshold_sweep.csv")
+        sweep.to_csv(sweep_csv, index=False)
+        t, v = best_threshold(sweep, metric=args.sweep_threshold)
+        payload = {"threshold": t, "metric": args.sweep_threshold,
+                   "value": round(v, 4),
+                   "at_default": round(float(sweep.loc[
+                       (sweep.threshold - 0.5).abs().idxmin(),
+                       args.sweep_threshold]), 4),
+                   "sweep_csv": sweep_csv}
+        if args.write_threshold:
+            tpath = os.path.join(args.root, PathsConfig().model_dir,
+                                 THRESHOLD_BASENAME)
+            _write_json_atomic(tpath, {
+                **payload,
+                "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime())})
+            payload["out"] = tpath
+            logger.info("calibrated threshold %.2f written to %s (serving "
+                        "reads it automatically)", t, tpath)
+        print(json.dumps(payload))
+        return 0
+
+    if args.predictions:
+        df = evaluate_predictions(args.predictions, data_dir,
+                                  threshold=args.threshold)
+    else:
         df = evaluate_model_data(infer, variables, data_dir,
                                  threshold=args.threshold)
     print(json.dumps(write_report(df, out_csv)))
@@ -1294,6 +1384,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "+ activations on the MXU s8 path, 2x the bf16 "
                             "rate on v5e); calibrated on the first granule. "
                             "See models/quantized_forward.py")
+        p.add_argument("--threshold", type=float, default=None,
+                       help="mask decision threshold (default: the "
+                            "calibrated <root>/models/threshold.json if "
+                            "present — evaluate_model --sweep-threshold "
+                            "--write-threshold — else 0.5)")
         p.add_argument("--tta", action="store_true",
                        help="D4 test-time augmentation: average plume "
                             "probabilities over the 8 rotation/flip views "
@@ -1427,6 +1522,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="export the UNet++ grid truncated at fusion "
                          "column L (deep-supervision checkpoints; see "
                          "predict_model --prune-level)")
+    ex.add_argument("--threshold", type=float, default=None,
+                    help="mask threshold baked into the program (default: "
+                         "the calibrated models/threshold.json if present, "
+                         "else 0.5)")
     ex.add_argument("--tta", action="store_true",
                     help="bake D4 test-time augmentation into the exported "
                          "program (8 views per tile, one folded forward; "
@@ -1453,6 +1552,17 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--tile", type=int, default=288)
     ev.add_argument("--overlap", type=int, default=32)
     ev.add_argument("--threshold", type=float, default=0.5)
+    ev.add_argument("--sweep-threshold", nargs="?", const="iou",
+                    default=None, metavar="METRIC",
+                    help="sweep the decision threshold 0.05..0.95 and "
+                         "report the pooled-metric curve + the best "
+                         "operating point (default metric iou; writes "
+                         "threshold_sweep.csv next to the report)")
+    ev.add_argument("--write-threshold", action="store_true",
+                    help="persist the swept best threshold to <root>/"
+                         "models/threshold.json — predict_model/serve/"
+                         "export_model then serve it automatically "
+                         "(explicit --threshold overrides)")
     ev.add_argument("--prune-level", type=int, default=None,
                     help="evaluate the UNet++ grid truncated at fusion "
                          "column L (see predict_model --prune-level)")

@@ -122,6 +122,22 @@ def _score_rows(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray]]
     return pd.DataFrame(rows + summary)
 
 
+def inference_prob_pairs(
+    infer: Callable,
+    variables,
+    model_data_dir: str,
+) -> Iterable[Tuple[str, np.ndarray, np.ndarray]]:
+    """(name, probability map, true bool mask) for every model-ready
+    sample via ``infer(variables, channels) -> (probs, _)`` — the shared
+    source for scoring at one threshold and for the threshold sweep."""
+    for name, path in load_model_data(model_data_dir):
+        with np.load(path) as data:
+            channels = data["channels"]
+            true = data["mask"].astype(bool)
+        probs = np.asarray(infer(variables, channels)[0])
+        yield name, probs, true
+
+
 def evaluate_model_data(
     infer: Callable,
     variables,
@@ -130,26 +146,21 @@ def evaluate_model_data(
 ) -> pd.DataFrame:
     """Run ``infer(variables, channels) -> (probs, _)`` over every
     model-ready sample and score against its stored mask."""
-    samples = load_model_data(model_data_dir)
-
-    def pairs():
-        for name, path in samples:
-            with np.load(path) as data:
-                channels = data["channels"]
-                true = data["mask"].astype(bool)
-            probs = np.asarray(infer(variables, channels)[0])
-            yield name, probs > threshold, true
-
-    return _score_rows(pairs())
+    return _score_rows(
+        (name, probs > threshold, true)
+        for name, probs, true in inference_prob_pairs(
+            infer, variables, model_data_dir))
 
 
-def evaluate_predictions(
+def prediction_prob_pairs(
     predictions_dir: str,
     model_data_dir: str,
-    threshold: float = 0.5,
-) -> pd.DataFrame:
-    """Score saved ``predict_model`` NPZs (``{granule}_pred.npz``) against
-    model-ready labels, matched on the granule basename.
+) -> Iterable[Tuple[str, np.ndarray, np.ndarray]]:
+    """(name, probability map, true bool mask) for saved ``predict_model``
+    NPZs matched to model-ready labels — the matching/layer rules of
+    :func:`evaluate_predictions`, which consumes this; the threshold
+    sweep consumes it too. uint8 quantized-output predictions decode to
+    [0, 1] here so thresholds mean the same thing for both dtypes.
 
     Predictions are per GRANULE and ``predict_model`` infers on the
     granule's first orbit layer (``infer/streaming.py``), so each granule
@@ -186,43 +197,98 @@ def evaluate_predictions(
             base, ts = ts, LAYER0_SENTINEL
         by_base.setdefault(base, []).append((name, ts, path))
 
-    def pairs():
-        matched = 0
-        for base, group in by_base.items():
-            if base not in preds:
-                for name, _, _ in group:
-                    logger.warning("no prediction for sample %s — skipped",
-                                   name)
-                continue
-            chosen = [g for g in group if g[1] == LAYER0_SENTINEL]
-            if not chosen and len(group) == 1:
-                chosen = group          # single-layer granule, real ts
-            if not chosen:
+    matched = 0
+    for base, group in by_base.items():
+        if base not in preds:
+            for name, _, _ in group:
+                logger.warning("no prediction for sample %s — skipped",
+                               name)
+            continue
+        chosen = [g for g in group if g[1] == LAYER0_SENTINEL]
+        if not chosen and len(group) == 1:
+            chosen = group          # single-layer granule, real ts
+        if not chosen:
+            logger.warning(
+                "%s has %d orbit-layer samples (%s) but predictions "
+                "are per granule (first layer) — cannot pick a layer; "
+                "skipped. Use inference mode (no --predictions) to "
+                "score every layer sample.", base, len(group),
+                ", ".join(g[1] for g in group))
+            continue
+        for name, _, path in chosen[:1]:
+            if len(group) > 1:
                 logger.warning(
-                    "%s has %d orbit-layer samples (%s) but predictions "
-                    "are per granule (first layer) — cannot pick a layer; "
-                    "skipped. Use inference mode (no --predictions) to "
-                    "score every layer sample.", base, len(group),
-                    ", ".join(g[1] for g in group))
-                continue
-            for name, _, path in chosen[:1]:
-                if len(group) > 1:
-                    logger.warning(
-                        "%s: scoring only %s against the granule "
-                        "prediction; %d other layer sample(s) skipped",
-                        base, name, len(group) - 1)
-                matched += 1
-                with np.load(preds[base]) as pdata:
-                    probs = pdata["probs"]
-                with np.load(path) as data:
-                    true = data["mask"].astype(bool)
-                yield name, probs > threshold, true
-        if not matched:
-            raise ValueError(
-                f"none of the {len(samples)} samples in {model_data_dir} "
-                f"match a prediction in {predictions_dir}")
+                    "%s: scoring only %s against the granule "
+                    "prediction; %d other layer sample(s) skipped",
+                    base, name, len(group) - 1)
+            matched += 1
+            with np.load(preds[base]) as pdata:
+                probs = pdata["probs"]
+                if probs.dtype == np.uint8:
+                    probs = probs.astype(np.float32) / 255.0
+            with np.load(path) as data:
+                true = data["mask"].astype(bool)
+            yield name, probs, true
+    if not matched:
+        raise ValueError(
+            f"none of the {len(samples)} samples in {model_data_dir} "
+            f"match a prediction in {predictions_dir}")
 
-    return _score_rows(pairs())
+
+def evaluate_predictions(
+    predictions_dir: str,
+    model_data_dir: str,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Score saved ``predict_model`` NPZs against model-ready labels at
+    one threshold (matching/layer rules: see
+    :func:`prediction_prob_pairs`)."""
+    return _score_rows(
+        (name, probs > threshold, true)
+        for name, probs, true in prediction_prob_pairs(
+            predictions_dir, model_data_dir))
+
+
+def sweep_thresholds(
+    prob_pairs: Iterable[Tuple[str, np.ndarray, np.ndarray]],
+    thresholds: Optional[np.ndarray] = None,
+) -> pd.DataFrame:
+    """Pooled (micro) metrics at every candidate decision threshold.
+
+    One pass over the samples: per-threshold confusion counts accumulate
+    from each probability map before it is dropped, so memory stays one
+    map regardless of dataset size. The default grid is 0.05..0.95 in
+    steps of 0.05 — the serving mask's operating curve. The hardcoded
+    0.5 the reference era assumed is rarely the IoU optimum once labels
+    are smoothed or noisy (measured: BASELINE.md threshold row)."""
+    ts = (np.round(np.arange(0.05, 0.951, 0.05), 2)
+          if thresholds is None else np.asarray(thresholds, np.float64))
+    if ts.size == 0:
+        raise ValueError("no thresholds to sweep")
+    counts = np.zeros((ts.size, 4), dtype=np.int64)
+    n = 0
+    for _name, probs, true in prob_pairs:
+        n += 1
+        for i, t in enumerate(ts):
+            counts[i] += confusion_counts(probs > t, true)
+    if n == 0:
+        raise ValueError("nothing to sweep: no (probability, label) pairs")
+    rows = [{"threshold": float(t), **metrics_from_counts(c)}
+            for t, c in zip(ts, counts)]
+    return pd.DataFrame(rows)
+
+
+def best_threshold(sweep: pd.DataFrame, metric: str = "iou"
+                   ) -> Tuple[float, float]:
+    """(threshold, value) maximising ``metric`` over a sweep table; ties
+    resolve to the threshold nearest 0.5 (the least surprising mask)."""
+    if metric not in sweep.columns:
+        raise ValueError(f"metric {metric!r} not in sweep table")
+    vals = sweep[metric].to_numpy()
+    best = vals.max()
+    cand = sweep.threshold.to_numpy()[vals == best]
+    t = float(cand[np.argmin(np.abs(cand - 0.5))])
+    return t, float(best)
 
 
 def write_report(df: pd.DataFrame, out_csv: Optional[str]) -> Dict:
