@@ -46,6 +46,10 @@ viirs:
 evaluate:
 	$(PYTHON_INTERPRETER) -m plumekit.cli evaluate_model --root $(ROOT)
 
+## Measure serving geometries on the attached chip and persist the winner
+tune:
+	$(PYTHON_INTERPRETER) -m plumekit.cli tune --root $(ROOT) --int8
+
 ## Campaign summary markdown + figures (the reference's promised
 ## reports/ content, reference README.md:50-52)
 report:
