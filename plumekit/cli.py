@@ -494,11 +494,9 @@ def _build_serving(args, unet_cfg, variables):
                 "--tta and --exported are mutually exclusive: the exported "
                 "program's forward is baked in — export with `export_model "
                 "--tta` to ship a TTA artifact")
-        if getattr(args, "threshold", None) is not None:
-            logger.warning(
-                "--threshold is baked into exported programs at export "
-                "time (export_model --threshold); the flag does not "
-                "change this artifact's masks")
+        # NB --threshold still applies: persisted masks are thresholded at
+        # write time from the artifact's probs (_write_prediction); only
+        # the program's internal mask output carries the export-time bake
         from plumekit.infer.export import load_exported
 
         infer, meta = load_exported(args.exported)
@@ -578,7 +576,8 @@ def _resolve_threshold(args) -> float:
             with open(path) as f:
                 payload = json.load(f)
             t = float(payload["threshold"])
-        except (OSError, ValueError, KeyError, json.JSONDecodeError) as e:
+        except (OSError, ValueError, KeyError, TypeError,
+                json.JSONDecodeError) as e:
             logger.warning("%s unreadable (%s) — serving threshold 0.5",
                            path, e)
             return 0.5
@@ -729,16 +728,24 @@ def _sweep_stale_tmps(out_dir) -> None:
                 pass
 
 
-def _write_prediction(out_dir, name, probs, plot=False, granule_path=None):
+def _write_prediction(out_dir, name, probs, plot=False, granule_path=None,
+                      threshold=0.5):
     """Atomically write ``<name>_pred.npz`` (tmp + ``os.replace`` — a crash
     never leaves a half-written artifact that a reader, or the serve
-    worklog, would trust) and optionally the quicklook PNG."""
+    worklog, would trust) and optionally the quicklook PNG. The mask is
+    thresholded HERE (from the full-precision probs, at the resolved
+    serving threshold) so the persisted artifact honours
+    ``--threshold``/``threshold.json`` regardless of which program
+    produced the probs (live, int8, exported — whose baked mask output
+    the stream does not use)."""
     out = os.path.join(out_dir, name + "_pred.npz")
     tmp = os.path.join(out_dir, f".{name}_pred.tmp{os.getpid()}.npz")
-    np.savez_compressed(tmp, probs=probs, mask=probs > 0.5)
+    mask = probs > threshold
+    np.savez_compressed(tmp, probs=probs, mask=mask,
+                        threshold=np.float32(threshold))
     os.replace(tmp, out)
-    logger.info("%s: %.1f%% plume pixels", out,
-                100.0 * float((probs > 0.5).mean()))
+    logger.info("%s: %.1f%% plume pixels (threshold %.2f)", out,
+                100.0 * float(mask.mean()), threshold)
     if plot and granule_path is not None:
         from plumekit.io.granule import NULL_VALUE, load_granule
         from plumekit.viz import plot_prediction
@@ -785,6 +792,7 @@ def cmd_predict_model(args) -> int:
     # runs on device
     from plumekit.infer.streaming import stream_inference
 
+    threshold = _resolve_threshold(args)
     for name, probs in stream_inference(
         granule_paths, infer, variables, depth,
         quantize=args.quantize, batch_granules=batch_granules,
@@ -795,7 +803,7 @@ def cmd_predict_model(args) -> int:
                    if os.path.splitext(os.path.basename(p))[0] == name),
                   None) if args.plot else None
         _write_prediction(out_dir, name, probs, plot=args.plot,
-                          granule_path=gp)
+                          granule_path=gp, threshold=threshold)
     return 0
 
 
@@ -937,6 +945,9 @@ def cmd_serve(args) -> int:
         appending to ``served_acc`` — so granules served before a
         mid-stream failure still count when the caller catches it."""
         path_iter = iter(paths_list)
+        # resolved per batch, not per granule: a recalibrated
+        # threshold.json applies from the next scan without restart
+        threshold = _resolve_threshold(args)
         for name, probs in stream_inference(
             paths_list, infer, state["variables"], depth,
             quantize=args.quantize, batch_granules=batch_granules,
@@ -951,7 +962,7 @@ def cmd_serve(args) -> int:
                                "stem %r — worklog keys by filename", name,
                                stem)
             _write_prediction(out_dir, name, probs, plot=args.plot,
-                              granule_path=gpath)
+                              granule_path=gpath, threshold=threshold)
             worklog.mark(os.path.basename(gpath))
             served_acc.append(os.path.basename(gpath))
             if stop.is_set():
@@ -1068,11 +1079,16 @@ def cmd_evaluate_model(args) -> int:
                                    channels=unet_cfg.in_channels)
 
     if args.sweep_threshold:
-        from plumekit.train.evaluate import (best_threshold,
+        from plumekit.train.evaluate import (METRIC_KEYS, best_threshold,
                                              inference_prob_pairs,
                                              prediction_prob_pairs,
                                              sweep_thresholds)
 
+        if args.sweep_threshold not in METRIC_KEYS:
+            # fail BEFORE the (potentially minutes-long) inference pass
+            logger.error("--sweep-threshold: unknown metric %r (one of %s)",
+                         args.sweep_threshold, ", ".join(METRIC_KEYS))
+            return 1
         pairs = (prediction_prob_pairs(args.predictions, data_dir)
                  if args.predictions
                  else inference_prob_pairs(infer, variables, data_dir))

@@ -96,7 +96,9 @@ def load_prediction(predictions_dir: str, base: str) -> Optional[np.ndarray]:
     with np.load(path) as data:
         probs = data["probs"]
         if probs.dtype == np.uint8:
-            probs = probs.astype(np.float32) / 255.0
+            from plumekit.ops.quant import dequantize_probs_uint8
+
+            probs = dequantize_probs_uint8(probs)
         return np.asarray(probs, dtype=np.float32)
 
 

@@ -225,7 +225,9 @@ def prediction_prob_pairs(
             with np.load(preds[base]) as pdata:
                 probs = pdata["probs"]
                 if probs.dtype == np.uint8:
-                    probs = probs.astype(np.float32) / 255.0
+                    from plumekit.ops.quant import dequantize_probs_uint8
+
+                    probs = dequantize_probs_uint8(probs)
             with np.load(path) as data:
                 true = data["mask"].astype(bool)
             yield name, probs, true
@@ -265,12 +267,34 @@ def sweep_thresholds(
           if thresholds is None else np.asarray(thresholds, np.float64))
     if ts.size == 0:
         raise ValueError("no thresholds to sweep")
+    if not (np.diff(ts) > 0).all():
+        raise ValueError("thresholds must be strictly increasing")
+
+    def above(values: np.ndarray) -> np.ndarray:
+        # |{v : v > t}| for every t in ONE sorted pass — searchsorted
+        # side='right' keeps the strict-> semantics exact (a prob equal
+        # to a threshold must NOT count), which a histogram would blur
+        v = np.sort(values, kind="stable")
+        return (v.size - np.searchsorted(v, ts, side="right")).astype(
+            np.int64)
+
     counts = np.zeros((ts.size, 4), dtype=np.int64)
     n = 0
     for _name, probs, true in prob_pairs:
         n += 1
-        for i, t in enumerate(ts):
-            counts[i] += confusion_counts(probs > t, true)
+        if probs.shape != true.shape:
+            raise ValueError(
+                f"prediction shape {probs.shape} != label shape "
+                f"{true.shape}")
+        p = np.asarray(probs).ravel()
+        t = np.asarray(true, dtype=bool).ravel()
+        tp = above(p[t])
+        fp = above(p[~t])
+        npos, nneg = int(t.sum()), int((~t).sum())
+        counts[:, 0] += tp
+        counts[:, 1] += fp
+        counts[:, 2] += npos - tp
+        counts[:, 3] += nneg - fp
     if n == 0:
         raise ValueError("nothing to sweep: no (probability, label) pairs")
     rows = [{"threshold": float(t), **metrics_from_counts(c)}

@@ -72,6 +72,8 @@ def test_resolve_threshold(tmp_path):
     assert _resolve_threshold(args) == 0.5                 # torn → default
 
 
+@pytest.mark.skipif(os.environ.get("PLUMEKIT_RUN_SLOW") != "1",
+                    reason="slow E2E (identify compile); PLUMEKIT_RUN_SLOW=1")
 def test_cli_sweep_and_calibrated_predict(tmp_path):
     """evaluate_model --sweep-threshold --write-threshold then
     predict_model serving the calibrated point end to end."""
@@ -94,5 +96,41 @@ def test_cli_sweep_and_calibrated_predict(tmp_path):
     assert payload["metric"] == "iou"
     assert (tmp_path / "processed/threshold_sweep.csv").exists()
 
-    # serving picks the calibrated threshold up automatically
+    # serving picks the calibrated threshold up automatically AND the
+    # persisted mask is thresholded at it (regression: the mask used to
+    # be hardcoded probs > 0.5 regardless of calibration)
     assert main(["predict_model", "--root", root, "--tile", "64"]) == 0
+    pred = sorted((tmp_path / "processed/predictions").glob("*_pred.npz"))[0]
+    with np.load(pred) as data:
+        assert float(data["threshold"]) == payload["threshold"]
+        np.testing.assert_array_equal(
+            data["mask"], data["probs"] > payload["threshold"])
+    # explicit flag overrides the artifact
+    assert main(["predict_model", "--root", root, "--tile", "64",
+                 "--threshold", "0.9"]) == 0
+    with np.load(pred) as data:
+        assert abs(float(data["threshold"]) - 0.9) < 1e-6
+
+
+def test_sweep_matches_bruteforce_including_exact_ties():
+    """The sorted-pass sweep must equal per-threshold brute force with
+    STRICT > semantics, including probs exactly equal to a threshold."""
+    from plumekit.train.evaluate import confusion_counts, \
+        metrics_from_counts
+
+    rng = np.random.default_rng(7)
+    probs = rng.choice([0.05, 0.3, 0.5, 0.7, 0.95, 0.12, 0.88],
+                       size=(40, 40)).astype(np.float32)
+    true = rng.random((40, 40)) < 0.4
+    ts = np.array([0.05, 0.3, 0.5, 0.7])
+    sweep = sweep_thresholds([("s", probs, true)], thresholds=ts)
+    for row, t in zip(sweep.itertuples(), ts):
+        want = metrics_from_counts(confusion_counts(probs > t, true))
+        for k, v in want.items():
+            assert abs(getattr(row, k) - v) < 1e-12, (t, k)
+
+    with pytest.raises(ValueError, match="strictly increasing"):
+        sweep_thresholds([("s", probs, true)],
+                         thresholds=np.array([0.5, 0.3]))
+    with pytest.raises(ValueError, match="label shape"):
+        sweep_thresholds([("s", probs, true[:10])])
