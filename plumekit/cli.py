@@ -1116,6 +1116,30 @@ def cmd_evaluate_model(args) -> int:
         print(json.dumps(payload))
         return 0
 
+    if args.objects:
+        from plumekit.train.evaluate import (evaluate_objects,
+                                             inference_prob_pairs,
+                                             prediction_prob_pairs)
+
+        pairs = (prediction_prob_pairs(args.predictions, data_dir)
+                 if args.predictions
+                 else inference_prob_pairs(infer, variables, data_dir))
+        odf = evaluate_objects(pairs, threshold=args.threshold,
+                               match_iou=args.match_iou,
+                               min_size=args.min_size)
+        obj_csv = os.path.join(os.path.dirname(out_csv) or ".",
+                               "evaluation_objects.csv")
+        odf.to_csv(obj_csv, index=False)
+        micro = odf[odf.name == "micro"].iloc[0]
+        print(json.dumps({
+            "samples": int(len(odf) - 1),
+            "pred_plumes": int(micro.pred_plumes),
+            "true_plumes": int(micro.true_plumes),
+            **{k: round(float(micro[k]), 4)
+               for k in ("obj_precision", "obj_recall", "obj_f1")},
+            "out": obj_csv}))
+        return 0
+
     if args.predictions:
         df = evaluate_predictions(args.predictions, data_dir,
                                   threshold=args.threshold)
@@ -1579,6 +1603,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "models/threshold.json — predict_model/serve/"
                          "export_model then serve it automatically "
                          "(explicit --threshold overrides)")
+    ev.add_argument("--objects", action="store_true",
+                    help="plume-LEVEL detection metrics instead of pixel "
+                         "metrics: connected components matched one-to-one "
+                         "by IoU (>= --match-iou), pooled "
+                         "precision/recall/F1 — how many plumes were "
+                         "found/missed/invented")
+    ev.add_argument("--match-iou", type=float, default=0.5,
+                    help="component-match IoU for --objects (detection "
+                         "convention)")
+    ev.add_argument("--min-size", type=int, default=1,
+                    help="drop components below this pixel size before "
+                         "matching (the reference gates regions < 100 px)")
     ev.add_argument("--prune-level", type=int, default=None,
                     help="evaluate the UNet++ grid truncated at fusion "
                          "column L (see predict_model --prune-level)")

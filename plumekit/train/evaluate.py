@@ -302,6 +302,110 @@ def sweep_thresholds(
     return pd.DataFrame(rows)
 
 
+def object_counts(pred_mask: np.ndarray, true_mask: np.ndarray,
+                  match_iou: float = 0.5, min_size: int = 1
+                  ) -> np.ndarray:
+    """Plume-LEVEL confusion tallies ``[tp, fp, fn]`` (int64).
+
+    Pixel metrics hide the question the campaign actually asks — how
+    many PLUMES were found, missed, or invented. Connected components
+    of each mask (8-connected, the detectors' convention, via the native
+    union-find CCL) are matched greedily by pairwise IoU, highest first,
+    one-to-one; a pair counts as a hit at ``IoU >= match_iou`` (the
+    detection convention). ``min_size`` drops components below the
+    reference's own noise floor before matching (its identify gates
+    reject regions < 100 px, ``plume_identifier_rg.py:270-275``).
+
+    Pairwise intersections come from ONE joint bincount over the two
+    label images, so cost is O(pixels + n_pred·n_true)."""
+    from plumekit.native import ccl_label
+
+    if pred_mask.shape != true_mask.shape:
+        raise ValueError(
+            f"prediction shape {pred_mask.shape} != label shape "
+            f"{true_mask.shape}")
+    if not 0.0 < match_iou <= 1.0:
+        raise ValueError(f"match_iou must be in (0, 1], got {match_iou}")
+    pl, np_ = ccl_label(np.asarray(pred_mask, bool))
+    tl, nt = ccl_label(np.asarray(true_mask, bool))
+    if min_size > 1:
+        for labels, n in ((pl, np_), (tl, nt)):
+            sizes = np.bincount(labels.ravel(), minlength=n + 1)
+            labels[np.isin(labels, np.nonzero(sizes < min_size)[0]) &
+                   (labels > 0)] = 0
+        np_ = int(len(np.unique(pl))) - 1
+        nt = int(len(np.unique(tl))) - 1
+        # compact: bincount below only needs the set, not contiguity
+    if np_ == 0 or nt == 0:
+        return np.array([0, np_, nt], dtype=np.int64)
+    # joint histogram: intersection area of every (pred, true) label pair
+    joint = np.bincount(
+        (pl.ravel().astype(np.int64) * (tl.max() + 1) + tl.ravel()),
+        minlength=(pl.max() + 1) * (tl.max() + 1),
+    ).reshape(pl.max() + 1, tl.max() + 1)
+    pred_area = joint.sum(axis=1)
+    true_area = joint.sum(axis=0)
+    inter = joint[1:, 1:].astype(np.float64)
+    union = (pred_area[1:, None] + true_area[None, 1:] - inter)
+    iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    # greedy one-to-one matching, best IoU first (exact for the
+    # detection-metric convention)
+    tp = 0
+    used_p: set = set()
+    used_t: set = set()
+    order = np.argsort(iou, axis=None)[::-1]
+    for flat in order:
+        i, j = divmod(int(flat), iou.shape[1])
+        if iou[i, j] < match_iou:
+            break
+        if i in used_p or j in used_t:
+            continue
+        used_p.add(i)
+        used_t.add(j)
+        tp += 1
+    n_pred = int((pred_area[1:] > 0).sum())
+    n_true = int((true_area[1:] > 0).sum())
+    return np.array([tp, n_pred - tp, n_true - tp], dtype=np.int64)
+
+
+def object_metrics_from_counts(counts: np.ndarray) -> Dict[str, float]:
+    """Plume-level precision/recall/F1 from pooled ``[tp, fp, fn]``."""
+    tp, fp, fn = (float(c) for c in counts)
+
+    def ratio(num, den, empty=1.0):
+        return num / den if den > 0 else empty
+
+    return {"obj_precision": ratio(tp, tp + fp),
+            "obj_recall": ratio(tp, tp + fn),
+            "obj_f1": ratio(2 * tp, 2 * tp + fp + fn)}
+
+
+def evaluate_objects(
+    prob_pairs: Iterable[Tuple[str, np.ndarray, np.ndarray]],
+    threshold: float = 0.5,
+    match_iou: float = 0.5,
+    min_size: int = 1,
+) -> pd.DataFrame:
+    """Per-sample + pooled plume-level detection table over probability
+    pairs (the same generators the pixel scorer and the sweep use)."""
+    rows: List[Dict] = []
+    for name, probs, true in prob_pairs:
+        c = object_counts(probs > threshold, true, match_iou, min_size)
+        rows.append({"name": name, "pred_plumes": int(c[0] + c[1]),
+                     "true_plumes": int(c[0] + c[2]),
+                     **object_metrics_from_counts(c), "_counts": c})
+    if not rows:
+        raise ValueError("nothing to evaluate: no (prediction, label) pairs")
+    pooled = np.sum([r["_counts"] for r in rows], axis=0)
+    summary = {"name": "micro",
+               "pred_plumes": int(pooled[0] + pooled[1]),
+               "true_plumes": int(pooled[0] + pooled[2]),
+               **object_metrics_from_counts(pooled)}
+    for r in rows:
+        del r["_counts"]
+    return pd.DataFrame(rows + [summary])
+
+
 def best_threshold(sweep: pd.DataFrame, metric: str = "iou"
                    ) -> Tuple[float, float]:
     """(threshold, value) maximising ``metric`` over a sweep table; ties
