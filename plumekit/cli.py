@@ -1079,20 +1079,30 @@ def cmd_evaluate_model(args) -> int:
                                    channels=unet_cfg.in_channels)
 
     if args.sweep_threshold:
-        from plumekit.train.evaluate import (METRIC_KEYS, best_threshold,
+        from plumekit.train.evaluate import (METRIC_KEYS,
+                                             OBJECT_METRIC_KEYS,
+                                             best_threshold,
                                              inference_prob_pairs,
                                              prediction_prob_pairs,
+                                             sweep_object_thresholds,
                                              sweep_thresholds)
 
-        if args.sweep_threshold not in METRIC_KEYS:
+        if args.sweep_threshold not in METRIC_KEYS + OBJECT_METRIC_KEYS:
             # fail BEFORE the (potentially minutes-long) inference pass
             logger.error("--sweep-threshold: unknown metric %r (one of %s)",
-                         args.sweep_threshold, ", ".join(METRIC_KEYS))
+                         args.sweep_threshold,
+                         ", ".join(METRIC_KEYS + OBJECT_METRIC_KEYS))
             return 1
         pairs = (prediction_prob_pairs(args.predictions, data_dir)
                  if args.predictions
                  else inference_prob_pairs(infer, variables, data_dir))
-        sweep = sweep_thresholds(pairs)
+        if args.sweep_threshold in OBJECT_METRIC_KEYS:
+            # the pixel and plume optima genuinely differ (BASELINE.md):
+            # sweep in the metric the campaign serves for
+            sweep = sweep_object_thresholds(pairs, match_iou=args.match_iou,
+                                            min_size=args.min_size)
+        else:
+            sweep = sweep_thresholds(pairs)
         sweep_csv = os.path.join(os.path.dirname(out_csv) or ".",
                                  "threshold_sweep.csv")
         sweep.to_csv(sweep_csv, index=False)
@@ -1596,7 +1606,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None, metavar="METRIC",
                     help="sweep the decision threshold 0.05..0.95 and "
                          "report the pooled-metric curve + the best "
-                         "operating point (default metric iou; writes "
+                         "operating point (default metric iou; also "
+                         "obj_precision/obj_recall/obj_f1 for PLUME-level "
+                         "calibration — the pixel and plume optima "
+                         "genuinely differ, BASELINE.md; writes "
                          "threshold_sweep.csv next to the report)")
     ev.add_argument("--write-threshold", action="store_true",
                     help="persist the swept best threshold to <root>/"

@@ -101,3 +101,55 @@ def test_cli_evaluate_objects(tmp_path):
 
     df = pd.read_csv(csv)
     assert df[df.name == "micro"].obj_f1.iloc[0] == 1.0
+
+
+def test_sweep_object_thresholds():
+    """Plume-level sweep: a blob whose probabilities decay outward has a
+    size-dependent optimum — high thresholds shrink it below match IoU."""
+    from plumekit.train.evaluate import (best_threshold,
+                                         sweep_object_thresholds)
+
+    true = np.zeros((48, 48), bool)
+    _blob(true, 10, 10, 20, 20)
+    yy, xx = np.mgrid[0:48, 0:48]
+    # radial decay centered on the plume: threshold 0.3 covers it,
+    # threshold 0.8 keeps only a core far below 0.5 IoU
+    d = np.hypot(yy - 20, xx - 20).astype(np.float32)
+    probs = np.clip(0.9 - 0.035 * d, 0.0, 1.0)
+    # measured geometry: 0.3 over-covers (IoU 0.43 < 0.5 → no match),
+    # 0.6 matches (IoU 0.58), 0.85 keeps a 9-px core (IoU 0.02) — an
+    # INTERIOR plume-level optimum neither pixel extreme sees
+    sweep = sweep_object_thresholds([("s", probs, true)],
+                                    thresholds=np.array([0.3, 0.6, 0.85]))
+    f1 = sweep.obj_f1.to_numpy()
+    assert f1[0] == 0.0 and f1[1] == 1.0 and f1[2] == 0.0
+    t, v = best_threshold(sweep, metric="obj_f1")
+    assert t == 0.6 and v == 1.0
+
+    with pytest.raises(ValueError, match="nothing to sweep"):
+        sweep_object_thresholds([])
+
+
+def test_cli_sweep_object_metric(tmp_path):
+    from plumekit.cli import main
+    from plumekit.config.paths import PathsConfig
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    true = np.zeros((32, 32), np.float32)
+    true[4:12, 4:12] = 1.0
+    probs = np.where(true > 0, 0.9, 0.1).astype(np.float32)
+    np.savez_compressed(os.path.join(paths.ensure("model_data_dir"),
+                                     "g1__layer0.npz"),
+                        channels=np.zeros((32, 32, 2), np.float32),
+                        mask=true)
+    np.savez_compressed(os.path.join(paths.ensure("predictions_dir"),
+                                     "g1_pred.npz"), probs=probs)
+    assert main(["evaluate_model", "--root", root,
+                 "--predictions", paths.resolve("predictions_dir"),
+                 "--sweep-threshold", "obj_f1"]) == 0
+    assert (tmp_path / "processed/threshold_sweep.csv").exists()
+    # unknown metric fails fast, before any inference
+    assert main(["evaluate_model", "--root", root,
+                 "--predictions", paths.resolve("predictions_dir"),
+                 "--sweep-threshold", "f1"]) == 1
