@@ -178,6 +178,38 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
                       f"(pooled over {len(ev) - 2} samples; per-sample "
                       f"rows in `{paths.evaluation_csv}`)", ""]
 
+    obj_csv = os.path.join(os.path.dirname(eval_csv) or ".",
+                           "evaluation_objects.csv")
+    if os.path.exists(obj_csv):
+        import pandas as pd
+
+        ob = pd.read_csv(obj_csv)
+        micro = ob[ob.name == "micro"]
+        if len(micro):
+            r = micro.iloc[0]
+            lines += ["## Plume-level detection", "",
+                      f"- plumes found: **{int(r.pred_plumes)}** predicted"
+                      f" vs {int(r.true_plumes)} labelled",
+                      f"- precision {float(r.obj_precision):.3f} / recall "
+                      f"{float(r.obj_recall):.3f} / F1 "
+                      f"**{float(r.obj_f1):.3f}** "
+                      f"(`evaluate_model --objects`)", ""]
+
+    tpath = os.path.join(root, paths.model_dir, "threshold.json")
+    if os.path.exists(tpath):
+        import json
+
+        try:
+            with open(tpath) as f:
+                tp = json.load(f)
+            lines += ["## Serving calibration", "",
+                      f"- decision threshold **{tp.get('threshold')}** "
+                      f"(dev {tp.get('metric')}={tp.get('value')}, "
+                      f"measured {tp.get('measured_utc', '?')}) — served "
+                      "automatically by predict/serve/export", ""]
+        except (ValueError, OSError):
+            pass
+
     if len(lines) <= 6:
         lines += ["*(empty workspace: run `plumekit make_dataset` / "
                   "`build_features` / `train_model` first)*", ""]

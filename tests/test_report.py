@@ -119,3 +119,33 @@ def test_report_cli(tmp_path, capsys):
     assert rc == 0
     printed = capsys.readouterr().out.strip()
     assert printed.endswith("report.md") and os.path.exists(printed)
+
+
+def test_report_objects_and_calibration_sections(tmp_path):
+    import json
+
+    import pandas as pd
+
+    from plumekit.config.paths import PathsConfig
+    from plumekit.viz.report import build_report
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    proc = os.path.dirname(paths.resolve("evaluation_csv"))
+    os.makedirs(proc, exist_ok=True)
+    pd.DataFrame([{"name": "g", "pred_plumes": 3, "true_plumes": 4,
+                   "obj_precision": 1.0, "obj_recall": 0.75,
+                   "obj_f1": 0.857},
+                  {"name": "micro", "pred_plumes": 3, "true_plumes": 4,
+                   "obj_precision": 1.0, "obj_recall": 0.75,
+                   "obj_f1": 0.857}]).to_csv(
+        os.path.join(proc, "evaluation_objects.csv"), index=False)
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    with open(os.path.join(root, "models", "threshold.json"), "w") as f:
+        json.dump({"threshold": 0.7, "metric": "iou", "value": 0.77,
+                   "measured_utc": "2026-08-20T00:00:00Z"}, f)
+    text = open(build_report(root)).read()
+    assert "## Plume-level detection" in text
+    assert "F1 **0.857**" in text
+    assert "## Serving calibration" in text
+    assert "threshold **0.7**" in text
