@@ -1066,6 +1066,23 @@ def cmd_evaluate_model(args) -> int:
     paths = PathsConfig(root=args.root)
     data_dir = args.data or paths.resolve("model_data_dir")
     out_csv = args.out or paths.resolve("evaluation_csv")
+    # fail BEFORE the (potentially minutes-long) inference pass: the
+    # deep object_counts validation would otherwise surface as a raw
+    # traceback after all the forward work is done
+    if not 0.0 < args.match_iou <= 1.0:
+        logger.error("--match-iou must be in (0, 1], got %s",
+                     args.match_iou)
+        return 1
+    if args.min_size < 1:
+        logger.error("--min-size must be >= 1, got %s", args.min_size)
+        return 1
+    if args.objects and args.sweep_threshold:
+        logger.error(
+            "--objects and --sweep-threshold are exclusive: the sweep "
+            "scores every candidate threshold (use a plume metric, e.g. "
+            "--sweep-threshold obj_f1, to sweep at the plume level); "
+            "run --objects separately at the calibrated threshold")
+        return 1
     infer = None
     if not args.predictions:
         from plumekit.config.train import InferConfig
@@ -1129,6 +1146,7 @@ def cmd_evaluate_model(args) -> int:
     if args.objects:
         from plumekit.train.evaluate import (evaluate_objects,
                                              inference_prob_pairs,
+                                             objects_csv_path,
                                              prediction_prob_pairs)
 
         pairs = (prediction_prob_pairs(args.predictions, data_dir)
@@ -1137,8 +1155,7 @@ def cmd_evaluate_model(args) -> int:
         odf = evaluate_objects(pairs, threshold=args.threshold,
                                match_iou=args.match_iou,
                                min_size=args.min_size)
-        obj_csv = os.path.join(os.path.dirname(out_csv) or ".",
-                               "evaluation_objects.csv")
+        obj_csv = objects_csv_path(out_csv)
         odf.to_csv(obj_csv, index=False)
         micro = odf[odf.name == "micro"].iloc[0]
         print(json.dumps({
@@ -1626,8 +1643,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="component-match IoU for --objects (detection "
                          "convention)")
     ev.add_argument("--min-size", type=int, default=1,
-                    help="drop components below this pixel size before "
-                         "matching (the reference gates regions < 100 px)")
+                    help="detection noise floor in pixels (the reference "
+                         "gates regions < 100 px): predicted components "
+                         "below it are pruned; true components below it "
+                         "are IGNORED — neither missed nor matchable")
     ev.add_argument("--prune-level", type=int, default=None,
                     help="evaluate the UNet++ grid truncated at fusion "
                          "column L (see predict_model --prune-level)")

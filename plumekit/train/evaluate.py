@@ -54,6 +54,13 @@ def confusion_counts(pred_mask: np.ndarray,
     return np.array([tp, fp, fn, tn], dtype=np.int64)
 
 
+def _ratio(num: float, den: float, empty: float = 1.0) -> float:
+    """Shared degenerate-denominator convention for the pixel AND plume
+    metrics: an empty denominator scores ``empty`` (1.0 by default — no
+    plume predicted, none labelled is a perfect agreement)."""
+    return num / den if den > 0 else empty
+
+
 def metrics_from_counts(counts: np.ndarray) -> Dict[str, float]:
     """IoU / dice / precision / recall / accuracy from ``[tp,fp,fn,tn]``.
 
@@ -61,16 +68,12 @@ def metrics_from_counts(counts: np.ndarray) -> Dict[str, float]:
     union (no plume predicted, none labelled) is a perfect 1.0, an empty
     positive set under a non-empty counterpart is 0.0."""
     tp, fp, fn, tn = (float(c) for c in counts)
-
-    def ratio(num: float, den: float, empty: float = 1.0) -> float:
-        return num / den if den > 0 else empty
-
     return {
-        "iou": ratio(tp, tp + fp + fn),
-        "dice": ratio(2 * tp, 2 * tp + fp + fn),
-        "precision": ratio(tp, tp + fp),
-        "recall": ratio(tp, tp + fn),
-        "accuracy": ratio(tp + tn, tp + fp + fn + tn, empty=0.0),
+        "iou": _ratio(tp, tp + fp + fn),
+        "dice": _ratio(2 * tp, 2 * tp + fp + fn),
+        "precision": _ratio(tp, tp + fp),
+        "recall": _ratio(tp, tp + fn),
+        "accuracy": _ratio(tp + tn, tp + fp + fn + tn, empty=0.0),
     }
 
 
@@ -312,9 +315,15 @@ def object_counts(pred_mask: np.ndarray, true_mask: np.ndarray,
     of each mask (8-connected, the detectors' convention, via the native
     union-find CCL) are matched greedily by pairwise IoU, highest first,
     one-to-one; a pair counts as a hit at ``IoU >= match_iou`` (the
-    detection convention). ``min_size`` drops components below the
-    reference's own noise floor before matching (its identify gates
-    reject regions < 100 px, ``plume_identifier_rg.py:270-275``).
+    detection convention). ``min_size`` models the reference's own
+    accept gate (its identify stage rejects regions < 100 px,
+    ``plume_identifier_rg.py:270-275``): PREDICTED components below it
+    are pruned (never tp nor fp), and TRUE components below it are
+    *ignore* regions — they are not counted as missed, and a prediction
+    whose majority support lies on an ignored region is dropped rather
+    than charged as a false positive (the standard detection-benchmark
+    ignore semantics; pruning GT outright would silently delete missed
+    small plumes from the fn count and overstate recall).
 
     Pairwise intersections come from ONE joint bincount over the two
     label images, so cost is O(pixels + n_pred·n_true)."""
@@ -329,13 +338,30 @@ def object_counts(pred_mask: np.ndarray, true_mask: np.ndarray,
     pl, np_ = ccl_label(np.asarray(pred_mask, bool))
     tl, nt = ccl_label(np.asarray(true_mask, bool))
     if min_size > 1:
-        for labels, n in ((pl, np_), (tl, nt)):
-            sizes = np.bincount(labels.ravel(), minlength=n + 1)
-            labels[np.isin(labels, np.nonzero(sizes < min_size)[0]) &
-                   (labels > 0)] = 0
-        np_ = int(len(np.unique(pl))) - 1
-        nt = int(len(np.unique(tl))) - 1
-        # compact: bincount below only needs the set, not contiguity
+        psizes = np.bincount(pl.ravel(), minlength=np_ + 1)
+        small_p = psizes < min_size
+        small_p[0] = False
+        pl[small_p[pl]] = 0
+        tsizes = np.bincount(tl.ravel(), minlength=nt + 1)
+        small_t = tsizes < min_size
+        small_t[0] = False
+        if small_t.any():
+            ignore = small_t[tl]
+            if pl.max() > 0:
+                # drop predictions mostly supported by ignored regions:
+                # a correct find of a sub-floor plume is not an FP
+                area = np.bincount(pl.ravel(), minlength=int(pl.max()) + 1)
+                on_ign = np.bincount(pl[ignore].ravel(),
+                                     minlength=int(pl.max()) + 1)
+                drop = on_ign * 2 > area
+                drop[0] = False
+                pl[drop[pl]] = 0
+            tl[ignore] = 0
+        # surviving labels are non-contiguous; count the distinct
+        # nonzero labels (len(unique)-1 would miscount when no
+        # background pixel remains)
+        np_ = int(np.count_nonzero(np.unique(pl)))
+        nt = int(np.count_nonzero(np.unique(tl)))
     if np_ == 0 or nt == 0:
         return np.array([0, np_, nt], dtype=np.int64)
     # joint histogram: intersection area of every (pred, true) label pair
@@ -369,15 +395,12 @@ def object_counts(pred_mask: np.ndarray, true_mask: np.ndarray,
 
 
 def object_metrics_from_counts(counts: np.ndarray) -> Dict[str, float]:
-    """Plume-level precision/recall/F1 from pooled ``[tp, fp, fn]``."""
+    """Plume-level precision/recall/F1 from pooled ``[tp, fp, fn]``
+    (same degenerate-denominator convention as the pixel metrics)."""
     tp, fp, fn = (float(c) for c in counts)
-
-    def ratio(num, den, empty=1.0):
-        return num / den if den > 0 else empty
-
-    return {"obj_precision": ratio(tp, tp + fp),
-            "obj_recall": ratio(tp, tp + fn),
-            "obj_f1": ratio(2 * tp, 2 * tp + fp + fn)}
+    return {"obj_precision": _ratio(tp, tp + fp),
+            "obj_recall": _ratio(tp, tp + fn),
+            "obj_f1": _ratio(2 * tp, 2 * tp + fp + fn)}
 
 
 def evaluate_objects(
@@ -408,6 +431,14 @@ def evaluate_objects(
 
 #: object-level metric names accepted by the threshold sweep
 OBJECT_METRIC_KEYS = ("obj_precision", "obj_recall", "obj_f1")
+
+
+def objects_csv_path(evaluation_csv: str) -> str:
+    """The plume-level report lives next to the pixel-level one. Single
+    source of the name contract shared by the writer (``cli
+    evaluate_model --objects``) and the reader (``viz/report.py``)."""
+    return os.path.join(os.path.dirname(evaluation_csv) or ".",
+                        "evaluation_objects.csv")
 
 
 def sweep_object_thresholds(

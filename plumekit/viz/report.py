@@ -178,8 +178,9 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
                       f"(pooled over {len(ev) - 2} samples; per-sample "
                       f"rows in `{paths.evaluation_csv}`)", ""]
 
-    obj_csv = os.path.join(os.path.dirname(eval_csv) or ".",
-                           "evaluation_objects.csv")
+    from plumekit.train.evaluate import objects_csv_path
+
+    obj_csv = objects_csv_path(eval_csv)
     if os.path.exists(obj_csv):
         import pandas as pd
 
@@ -202,11 +203,15 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
         try:
             with open(tpath) as f:
                 tp = json.load(f)
-            lines += ["## Serving calibration", "",
-                      f"- decision threshold **{tp.get('threshold')}** "
-                      f"(dev {tp.get('metric')}={tp.get('value')}, "
-                      f"measured {tp.get('measured_utc', '?')}) — served "
-                      "automatically by predict/serve/export", ""]
+            # valid JSON need not be an object (a bare number parses
+            # fine) — skip the section rather than crash on tp.get
+            if isinstance(tp, dict):
+                lines += ["## Serving calibration", "",
+                          f"- decision threshold **{tp.get('threshold')}** "
+                          f"(dev {tp.get('metric')}={tp.get('value')}, "
+                          f"measured {tp.get('measured_utc', '?')}) — "
+                          "served automatically by predict/serve/export",
+                          ""]
         except (ValueError, OSError):
             pass
 

@@ -54,15 +54,54 @@ def test_object_counts_min_size_and_empty():
     pred[20, 20] = True             # 1-px speckle
     assert tuple(object_counts(pred, true)) == (1, 1, 0)
     assert tuple(object_counts(pred, true, min_size=4)) == (1, 0, 0)
-    # empties
-    assert tuple(object_counts(np.zeros((8, 8), bool), true[:8, :8])) \
-        == (0, 0, 1) or tuple(
-            object_counts(np.zeros((8, 8), bool),
-                          np.zeros((8, 8), bool))) == (0, 0, 0)
+    # empties (two separate cases — an `or` across them tests neither)
+    empty = np.zeros((32, 32), bool)
+    assert tuple(object_counts(empty, true)) == (0, 0, 1)
+    assert tuple(object_counts(empty, empty)) == (0, 0, 0)
     with pytest.raises(ValueError, match="match_iou"):
         object_counts(pred, true, match_iou=0.0)
     with pytest.raises(ValueError, match="label shape"):
         object_counts(pred[:8], true)
+
+
+def test_object_counts_min_size_no_background():
+    """Pruned-label counting must not assume label 0 survives: an
+    all-True prediction (one giant component, no background pixel) used
+    to be counted as ZERO components after min_size pruning, scoring
+    obj_precision 1.0 for a garbage mask."""
+    true = np.zeros((32, 32), bool)
+    _blob(true, 4, 4, 8, 8)
+    pred = np.ones((32, 32), bool)
+    assert tuple(object_counts(pred, true, min_size=4)) == (0, 1, 1)
+
+
+def test_object_counts_min_size_ignore_semantics():
+    """min_size models the detector's accept gate with detection-style
+    ignore regions: sub-floor TRUE plumes are neither missed (no fn)
+    nor matchable, and a prediction sitting mostly on one is dropped
+    rather than charged as a false positive."""
+    true = np.zeros((32, 32), bool)
+    _blob(true, 4, 4, 8, 8)        # 64 px — above the floor
+    _blob(true, 24, 24, 2, 2)      # 4 px — below the floor (ignore)
+    pred = np.zeros((32, 32), bool)
+    _blob(pred, 4, 4, 8, 8)        # finds the big plume
+    # missed ignored plume: not a false negative
+    assert tuple(object_counts(pred, true, min_size=10)) == (1, 0, 0)
+    # a large prediction mostly on the ignored plume: not a false
+    # positive either (majority of its support is ignored)
+    pred2 = pred.copy()
+    _blob(pred2, 23, 23, 4, 4)     # 16 px >= floor? no: floor is 10,
+    # 16 px survives pred pruning but sits 1:4 on the ignored plume —
+    # only 4/16 px on ignore, so it IS charged as fp
+    assert tuple(object_counts(pred2, true, min_size=10)) == (1, 1, 0)
+    # a prediction whose MAJORITY lies on ignore: a 12-px pred with 8 px
+    # on an 8-px ignored plume — dropped, not charged
+    true2 = np.zeros((32, 32), bool)
+    _blob(true2, 4, 4, 8, 8)
+    _blob(true2, 24, 24, 2, 4)     # 8 px ignored plume
+    pred4 = pred.copy()
+    _blob(pred4, 24, 24, 3, 4)     # 12 px, 8 of them on the ignored plume
+    assert tuple(object_counts(pred4, true2, min_size=10)) == (1, 0, 0)
 
 
 def test_evaluate_objects_table():
@@ -153,3 +192,14 @@ def test_cli_sweep_object_metric(tmp_path):
     assert main(["evaluate_model", "--root", root,
                  "--predictions", paths.resolve("predictions_dir"),
                  "--sweep-threshold", "f1"]) == 1
+    # conflicting flags fail fast (the sweep used to silently swallow
+    # --objects), as do out-of-range knobs — all before any inference
+    assert main(["evaluate_model", "--root", root, "--objects",
+                 "--predictions", paths.resolve("predictions_dir"),
+                 "--sweep-threshold", "obj_f1"]) == 1
+    assert main(["evaluate_model", "--root", root, "--objects",
+                 "--predictions", paths.resolve("predictions_dir"),
+                 "--match-iou", "0"]) == 1
+    assert main(["evaluate_model", "--root", root, "--objects",
+                 "--predictions", paths.resolve("predictions_dir"),
+                 "--min-size", "0"]) == 1
