@@ -99,12 +99,19 @@ def _summarise(rows: List[Dict]) -> List[Dict]:
     """Micro (pooled-count) and macro (mean-of-samples) aggregate rows."""
     pooled = np.sum([r["_counts"] for r in rows], axis=0)
     micro = {"name": "micro", "plume_px": int(pooled[0] + pooled[2]),
-             **metrics_from_counts(pooled)}
+             **metrics_from_counts(pooled),
+             **dict(zip(PIXEL_COUNT_COLS, (int(c) for c in pooled)))}
     macro = {"name": "macro",
              "plume_px": int(np.mean([r["plume_px"] for r in rows])),
              **{k: float(np.mean([r[k] for r in rows]))
                 for k in METRIC_KEYS}}
     return [micro, macro]
+
+
+#: exact-count columns persisted per sample (they make every report
+#: re-poolable offline — and feed the scene-level bootstrap)
+PIXEL_COUNT_COLS = ("tp", "fp", "fn", "tn")
+OBJECT_COUNT_COLS = ("obj_tp", "obj_fp", "obj_fn")
 
 
 def _score_rows(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray]]
@@ -121,8 +128,60 @@ def _score_rows(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray]]
         raise ValueError("nothing to evaluate: no (prediction, label) pairs")
     summary = _summarise(rows)
     for r in rows:
-        del r["_counts"]
+        r.update(zip(PIXEL_COUNT_COLS, (int(c) for c in r.pop("_counts"))))
     return pd.DataFrame(rows + summary)
+
+
+def bootstrap_ci(
+    sample_counts: np.ndarray,
+    metric_fn: Callable[[np.ndarray], Dict[str, float]],
+    n_boot: int = 1000,
+    seed: int = 0,
+    alpha: float = 0.05,
+) -> Dict[str, Tuple[float, float]]:
+    """Scene-level bootstrap CI of the POOLED metrics.
+
+    ``sample_counts`` is the (samples, k) per-scene confusion-count
+    matrix; scenes are resampled with replacement ``n_boot`` times, each
+    resample pooled and pushed through ``metric_fn`` (percentile
+    interval, default 95%). Scenes — not pixels — are the exchangeable
+    unit here: pixels within a scene are spatially correlated, so a
+    pixel bootstrap would be dishonestly tight. This turns the quality
+    protocol's informal "±0.02 run variance" caveat (BASELINE.md) into a
+    per-evaluation number."""
+    counts = np.asarray(sample_counts, dtype=np.int64)
+    if counts.ndim != 2 or counts.shape[0] < 1:
+        raise ValueError(
+            f"sample_counts must be (samples, k), got {counts.shape}")
+    if n_boot < 1:
+        raise ValueError(f"n_boot must be >= 1, got {n_boot}")
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, counts.shape[0], size=(n_boot, counts.shape[0]))
+    pooled = counts[idx].sum(axis=1)
+    keys = list(metric_fn(pooled[0]).keys())
+    vals = np.array([[m[k] for k in keys]
+                     for m in (metric_fn(p) for p in pooled)])
+    lo = np.percentile(vals, 100 * alpha / 2, axis=0)
+    hi = np.percentile(vals, 100 * (1 - alpha / 2), axis=0)
+    return {k: (float(a), float(b)) for k, a, b in zip(keys, lo, hi)}
+
+
+def bootstrap_from_df(df: pd.DataFrame, kind: str = "pixel",
+                      n_boot: int = 1000, seed: int = 0
+                      ) -> Dict[str, Tuple[float, float]]:
+    """CI from a persisted evaluation table (the per-sample count
+    columns), so the bootstrap works offline on any saved report CSV."""
+    cols, fn = ((PIXEL_COUNT_COLS, metrics_from_counts)
+                if kind == "pixel"
+                else (OBJECT_COUNT_COLS, object_metrics_from_counts))
+    rows = df[~df.name.isin(("micro", "macro"))]
+    missing = [c for c in cols if c not in rows.columns]
+    if missing:
+        raise ValueError(
+            f"table lacks count columns {missing}; re-run evaluate_model "
+            "(older reports predate the per-sample counts)")
+    return bootstrap_ci(rows[list(cols)].to_numpy(), fn,
+                        n_boot=n_boot, seed=seed)
 
 
 def inference_prob_pairs(
@@ -423,9 +482,10 @@ def evaluate_objects(
     summary = {"name": "micro",
                "pred_plumes": int(pooled[0] + pooled[1]),
                "true_plumes": int(pooled[0] + pooled[2]),
-               **object_metrics_from_counts(pooled)}
+               **object_metrics_from_counts(pooled),
+               **dict(zip(OBJECT_COUNT_COLS, (int(c) for c in pooled)))}
     for r in rows:
-        del r["_counts"]
+        r.update(zip(OBJECT_COUNT_COLS, (int(c) for c in r.pop("_counts"))))
     return pd.DataFrame(rows + [summary])
 
 

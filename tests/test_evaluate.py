@@ -226,3 +226,99 @@ def test_evaluate_model_data_with_real_unet(tmp_path):
     assert 0.0 <= row["iou"] <= 1.0
     assert np.isfinite([row[k] for k in
                         ("iou", "dice", "precision", "recall")]).all()
+
+
+def test_bootstrap_ci_scene_level():
+    """Scene-level bootstrap: a single scene collapses the CI to the
+    point estimate; heterogeneous scenes produce a real interval that
+    brackets the pooled point."""
+    from plumekit.train.evaluate import bootstrap_ci, metrics_from_counts
+
+    one = np.array([[80, 10, 10, 900]], np.int64)
+    ci = bootstrap_ci(one, metrics_from_counts, n_boot=50)
+    point = metrics_from_counts(one[0])
+    for k, (lo, hi) in ci.items():
+        assert lo == pytest.approx(point[k]) and hi == pytest.approx(point[k])
+
+    many = np.array([[80, 10, 10, 900], [20, 40, 40, 900],
+                     [60, 5, 5, 930], [10, 60, 60, 870]], np.int64)
+    ci = bootstrap_ci(many, metrics_from_counts, n_boot=500, seed=1)
+    pooled = metrics_from_counts(many.sum(axis=0))
+    for k, (lo, hi) in ci.items():
+        assert lo <= pooled[k] <= hi
+        assert lo < hi  # heterogeneous scenes: a genuine interval
+    # deterministic under the seed
+    assert ci == bootstrap_ci(many, metrics_from_counts, n_boot=500, seed=1)
+
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci(many, metrics_from_counts, n_boot=0)
+    with pytest.raises(ValueError, match="sample_counts"):
+        bootstrap_ci(many[0], metrics_from_counts)
+
+
+def test_bootstrap_from_saved_report(tmp_path):
+    """The per-sample count columns persist through the CSV, so the CI
+    is recomputable offline from any saved report."""
+    import pandas as pd
+
+    from plumekit.train.evaluate import (bootstrap_from_df,
+                                         evaluate_predictions)
+
+    data_dir = str(tmp_path / "model_data")
+    pred_dir = str(tmp_path / "preds")
+    _write_samples(data_dir)
+    os.makedirs(pred_dir)
+    # standard fixture naming: predictions per granule base
+    for fname in sorted(os.listdir(data_dir)):
+        base = fname[:-len(".npz")].rpartition("__")[0]
+        with np.load(os.path.join(data_dir, fname)) as d:
+            probs = np.where(d["mask"] > 0, 0.9, 0.2).astype(np.float32)
+        np.savez_compressed(os.path.join(pred_dir, f"{base}_pred.npz"),
+                            probs=probs)
+    df = evaluate_predictions(pred_dir, data_dir)
+    out = str(tmp_path / "eval.csv")
+    df.to_csv(out, index=False)
+    ci = bootstrap_from_df(pd.read_csv(out), n_boot=200)
+    assert set(ci) == {"iou", "dice", "precision", "recall", "accuracy"}
+    # a table without the count columns is rejected with guidance
+    legacy = pd.read_csv(out).drop(columns=["tp", "fp", "fn", "tn"])
+    with pytest.raises(ValueError, match="count columns"):
+        bootstrap_from_df(legacy)
+
+
+def test_cli_bootstrap_json(tmp_path, capsys):
+    """--bootstrap adds ci95 to both the pixel and the plume summaries."""
+    import json
+
+    from plumekit.cli import main
+    from plumekit.config.paths import PathsConfig
+
+    root = str(tmp_path)
+    paths = PathsConfig(root=root)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        true = np.zeros((32, 32), np.float32)
+        true[4 + i:12 + i, 4:12] = 1.0
+        probs = np.clip(np.where(true > 0, 0.9, 0.1)
+                        + rng.normal(0, 0.05, true.shape), 0, 1)
+        np.savez_compressed(
+            os.path.join(paths.ensure("model_data_dir"),
+                         f"g{i}__layer0.npz"),
+            channels=np.zeros((32, 32, 2), np.float32), mask=true)
+        np.savez_compressed(
+            os.path.join(paths.ensure("predictions_dir"),
+                         f"g{i}_pred.npz"),
+            probs=probs.astype(np.float32))
+    pred = paths.resolve("predictions_dir")
+    assert main(["evaluate_model", "--root", root, "--predictions", pred,
+                 "--bootstrap", "100"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["ci95"]) >= {"iou", "dice"}
+    lo, hi = out["ci95"]["iou"]
+    assert 0.0 <= lo <= out["iou"] <= hi <= 1.0
+    assert main(["evaluate_model", "--root", root, "--predictions", pred,
+                 "--objects", "--bootstrap", "100"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["ci95"]) == {"obj_precision", "obj_recall", "obj_f1"}
+    assert main(["evaluate_model", "--root", root, "--predictions", pred,
+                 "--bootstrap", "-1"]) == 1
