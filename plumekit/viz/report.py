@@ -169,14 +169,29 @@ def build_report(root: str, out_dir: Optional[str] = None) -> str:
         micro = ev[ev.name == "micro"]
         if len(micro):
             r = micro.iloc[0]
+            # scene-level bootstrap CI when the table carries the
+            # per-sample count columns (legacy reports predate them)
+            ci = {}
+            try:
+                from plumekit.train.evaluate import bootstrap_from_df
+                ci = bootstrap_from_df(ev, n_boot=1000)
+            except (ValueError, KeyError):
+                pass
             lines += ["## Evaluation", "",
-                      "| metric | value |", "|---|---|"]
+                      "| metric | value |" + (" 95% CI |" if ci else ""),
+                      "|---|---|" + ("---|" if ci else "")]
             for k in ("iou", "dice", "precision", "recall", "accuracy"):
                 if k in ev.columns:
-                    lines.append(f"| {k} | {float(r[k]):.4f} |")
+                    row = f"| {k} | {float(r[k]):.4f} |"
+                    if ci:
+                        lo, hi = ci.get(k, (float("nan"),) * 2)
+                        row += f" [{lo:.4f}, {hi:.4f}] |"
+                    lines.append(row)
             lines += ["",
                       f"(pooled over {len(ev) - 2} samples; per-sample "
-                      f"rows in `{paths.evaluation_csv}`)", ""]
+                      f"rows in `{paths.evaluation_csv}`"
+                      + ("; CI = scene-level bootstrap, 1000 resamples"
+                         if ci else "") + ")", ""]
 
     from plumekit.train.evaluate import objects_csv_path
 

@@ -88,8 +88,31 @@ def test_report_full_workspace(tmp_path):
     assert "samples: **1**" in text              # model data
     assert "step **20**" in text                 # training checkpoint
     assert "| iou | 0.9000 |" in text            # evaluation table
+    assert "95% CI" not in text                  # legacy table: no counts
     assert os.path.exists(os.path.join(root, "reports", "figures",
                                        "training.png"))
+
+
+def test_report_evaluation_ci_column(tmp_path):
+    """A report whose evaluation table carries the per-sample count
+    columns renders the scene-level bootstrap CI alongside each metric."""
+    import pandas as pd
+
+    root = str(tmp_path)
+    _make_workspace(root)
+    rows = []
+    for i, (tp, fp, fn) in enumerate([(80, 10, 10), (40, 30, 30),
+                                      (60, 20, 20)]):
+        rows.append({"name": f"g{i}", "plume_px": tp + fn,
+                     "iou": tp / (tp + fp + fn), "dice": 0.9,
+                     "precision": 0.9, "recall": 0.9, "accuracy": 0.99,
+                     "tp": tp, "fp": fp, "fn": fn, "tn": 900})
+    rows += [{**rows[0], "name": "micro"}, {**rows[0], "name": "macro"}]
+    pd.DataFrame(rows).to_csv(
+        os.path.join(root, "processed", "evaluation.csv"), index=False)
+    text = open(build_report(root)).read()
+    assert "95% CI" in text
+    assert "scene-level bootstrap" in text
 
 
 def test_report_partial_workspace_no_training(tmp_path):
