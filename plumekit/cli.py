@@ -409,6 +409,7 @@ def cmd_train_model(args) -> int:
                 args.root, PathsConfig().model_dir, "checkpoints"),
             steps_per_dispatch=args.steps_per_dispatch,
             quantize_transfer=args.quantize_transfer,
+            device_data=args.device_data,
             distill_from=args.distill_from,
             distill_alpha=args.distill_alpha,
             distill_temp=args.distill_temp,
@@ -1425,6 +1426,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "device (4 B/px instead of 12 over the transfer-"
                         "bound host->device hop; granules quantized once "
                         "up front)")
+    t.add_argument("--device-data", action="store_true",
+                   help="keep the WHOLE training set resident in HBM and "
+                        "draw/augment tiles inside the scanned step program "
+                        "— no per-step host->device payload at all (pair "
+                        "with --steps-per-dispatch; with "
+                        "--quantize-transfer the HBM copy stores uint16/"
+                        "uint8, 3x the granules per byte)")
     t.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
                    help="architecture family (unetpp = nested dense skips, "
                         "arXiv:1807.10165); persisted next to checkpoints "

@@ -88,6 +88,18 @@ class TrainConfig:
     #: range/131070 (~2e-5 on physical AOD) — far below bf16 compute
     #: precision; masks encode exactly
     quantize_transfer: bool = False
+    #: keep the ENTIRE training set resident in HBM and draw/augment tiles
+    #: inside the scanned step program (``train/device_data.py``) — the
+    #: per-step host→device hop disappears entirely, which supersedes
+    #: quantize_transfer's payload shrinking on transfer-bound platforms
+    #: (the 60-granule protocol is ~90-190 MB vs 16 GB HBM). Composes with
+    #: quantize_transfer (then the HBM copy is uint16/uint8, 3× the
+    #: granules per byte, dequantized per tile after the slice) and with
+    #: steps_per_dispatch (the natural pairing: K steps per dispatch with
+    #: zero upload). Draw schedule is counter-based in (seed, step) —
+    #: deterministic and resume-stable, but a DIFFERENT sequence than the
+    #: host iterator's numpy draws
+    device_data: bool = False
     #: offline knowledge distillation (``train/distill.py``): a checkpoint
     #: dir whose model re-labels the TRAINING granules with its soft
     #: probabilities before the loop starts (the dev set keeps the

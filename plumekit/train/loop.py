@@ -97,7 +97,7 @@ def train(
     eval_fn = make_eval_step(train_cfg.dice_weight)
     k_max = max(1, train_cfg.steps_per_dispatch)
     multi_fn = None
-    if k_max > 1:
+    if k_max > 1 and not train_cfg.device_data:
         from plumekit.train.step import make_multi_train_step
 
         multi_fn = make_multi_train_step(
@@ -142,6 +142,32 @@ def train(
             temperature=train_cfg.distill_temp,
             prune_level=train_cfg.distill_prune_level,
             infer_cfg=train_cfg.distill_infer)
+    device_fn = device_set = None
+    if train_cfg.device_data:
+        # HBM-resident data (VERDICT round-3 #1): the whole training set is
+        # uploaded ONCE (quantized 3:1 when quantize_transfer is also set)
+        # and the scanned program draws/augments its own tiles — no per-step
+        # host payload at all, so the prefetch/staging machinery below is
+        # bypassed entirely
+        from plumekit.train.device_data import (build_device_dataset,
+                                                make_device_multi_step)
+
+        device_set = build_device_dataset(train_set, train_cfg.tile_size,
+                                          quantized=quantize)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            device_set = jax.device_put(
+                device_set, NamedSharding(mesh, P()))
+        else:
+            device_set = jax.device_put(device_set)
+        device_fn = make_device_multi_step(
+            train_cfg.dice_weight, train_cfg.augment, mesh,
+            label_smooth=train_cfg.label_smooth, base_rng=base_rng,
+            tile=train_cfg.tile_size, batch_size=train_cfg.batch_size)
+        nbytes = sum(a.nbytes for a in jax.tree_util.tree_leaves(device_set))
+        logger.info("device-resident dataset: %d granules, %.1f MB in HBM",
+                    device_set.channels.shape[0], nbytes / 1e6)
     np_rng = np.random.default_rng((train_cfg.seed, start_step))
     from plumekit.io.prefetch import device_prefetch
 
@@ -181,7 +207,9 @@ def train(
         batch_sharding = NamedSharding(mesh, spec)
         stage_put = lambda xy: tuple(           # noqa: E731
             jax.device_put(a, batch_sharding) for a in xy)
-    if quantize:
+    if device_fn is not None:
+        sample_stream = batches = None   # data already lives on device
+    elif quantize:
         # quantized-transfer path: granules encoded ONCE (uint16 channels,
         # uint8 masks — nothing added to the per-batch hot path), tiles
         # sliced/uploaded quantized, decoded on device inside the step.
@@ -198,7 +226,9 @@ def train(
     else:
         sample_stream = tile_batches(train_set, train_cfg.tile_size,
                                      train_cfg.batch_size, np_rng)
-    if k_max > 1:
+    if device_fn is not None:
+        pass
+    elif k_max > 1:
         # chunking lives INSIDE the prefetched stream: the stager thread
         # assembles and uploads whole (K, B, ...) chunks while the previous
         # chunk's program runs. Draining K single batches from the buffer
@@ -246,9 +276,18 @@ def train(
     last_log_step = start_step
     step_i = start_step - 1      # last completed step index (body keys on done)
     done = start_step
-    sizes = chunk_schedule() if multi_fn is not None else None
+    sizes = (chunk_schedule()
+             if (multi_fn is not None or device_fn is not None) else None)
     while done < train_cfg.total_steps:
-        if multi_fn is None:
+        if device_fn is not None:
+            # HBM-resident data: the only per-dispatch host payload is the
+            # (K,) global-step vector — draw, dequant, and augment all run
+            # inside the scanned program
+            k = next(sizes)
+            steps = jnp.arange(done, done + k)
+            state, metrics = device_fn(state, device_set, steps)
+            done += k
+        elif multi_fn is None:
             batch = next(batches)    # already batch-sharded on a mesh (above)
             # counter-based step keys (not a sequential split chain): a
             # resumed run's step N then uses exactly the key the
