@@ -33,6 +33,10 @@ p.add_argument("--ks", default="1,4,10")
 p.add_argument("--quantize", action="store_true",
                help="also time each K with quantize_transfer (uint16/uint8 "
                     "uploads, on-device dequant)")
+p.add_argument("--device-data", action="store_true",
+               help="also time each K with the HBM-resident dataset "
+                    "(tiles drawn inside the scanned program; zero per-"
+                    "step upload)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -56,23 +60,50 @@ data_cfg = DataConfig(granule_size=max(tile * 2, 256), n_train_granules=2,
                       n_eval_granules=1)
 
 
-def run(k: int, quantize: bool = False) -> float:
+import logging
+
+
+class _RateTap(logging.Handler):
+    """Capture the loop's own per-interval MPix/s log values — the steady
+    rate after compile/first-dispatch, vs the wall rate that includes data
+    gen + final eval."""
+
+    def __init__(self):
+        super().__init__()
+        self.rates = []
+
+    def emit(self, record):
+        if record.msg.startswith("step %d loss"):
+            self.rates.append(float(record.args[-1]))
+
+
+def run(k: int, quantize: bool = False, device_data: bool = False):
     cfg = TrainConfig(total_steps=args.steps, batch_size=batch,
                       tile_size=tile, log_every=args.steps // 2,
                       eval_every=0, steps_per_dispatch=k,
-                      quantize_transfer=quantize)
-    t0 = time.perf_counter()
-    train(unet_cfg=UNetConfig(), train_cfg=cfg, data_cfg=data_cfg,
-          checkpoint=False)
-    return time.perf_counter() - t0
+                      quantize_transfer=quantize, device_data=device_data)
+    tap = _RateTap()
+    logging.getLogger("plumekit.train.loop").addHandler(tap)
+    try:
+        t0 = time.perf_counter()
+        train(unet_cfg=UNetConfig(), train_cfg=cfg, data_cfg=data_cfg,
+              checkpoint=False)
+        return time.perf_counter() - t0, tap.rates
+    finally:
+        logging.getLogger("plumekit.train.loop").removeHandler(tap)
 
 
 px = batch * tile * tile * args.steps
-modes = [False] + ([True] if args.quantize else [])
+modes = [("fp32 ", {})]
+if args.quantize:
+    modes.append(("quant", {"quantize": True}))
+if args.device_data:
+    modes.append(("dev  ", {"device_data": True}))
+    modes.append(("dev+q", {"device_data": True, "quantize": True}))
 for k in (int(v) for v in args.ks.split(",")):
-    for quantize in modes:
-        tag = "quant" if quantize else "fp32 "
-        _ = run(k, quantize)         # compile + warm (persistent cache)
-        dt = run(k, quantize)
+    for tag, kw in modes:
+        _ = run(k, **kw)             # compile + warm (persistent cache)
+        dt, rates = run(k, **kw)
+        steady = max(rates[1:] or rates) if rates else float("nan")
         print(f"K={k:3d} {tag}  {dt:6.2f} s wall  {px / dt / 1e6:6.1f} "
-              f"MPix/s (incl. data gen + final eval)")
+              f"MPix/s wall  {steady:6.1f} MPix/s steady")

@@ -1087,6 +1087,15 @@ def cmd_evaluate_model(args) -> int:
             "--sweep-threshold obj_f1, to sweep at the plume level); "
             "run --objects separately at the calibrated threshold")
         return 1
+    if args.bootstrap and args.sweep_threshold:
+        # the sweep path prints its table and returns before either
+        # bootstrap block runs — fail fast instead of silently ignoring
+        # the flag (same contract as the --objects conflict above)
+        logger.error(
+            "--bootstrap and --sweep-threshold are exclusive: CIs attach "
+            "to a single-threshold evaluation; sweep first, then re-run "
+            "evaluate_model --bootstrap at the calibrated threshold")
+        return 1
     infer = None
     if not args.predictions:
         from plumekit.config.train import InferConfig

@@ -384,6 +384,14 @@ def object_counts(pred_mask: np.ndarray, true_mask: np.ndarray,
     ignore semantics; pruning GT outright would silently delete missed
     small plumes from the fn count and overstate recall).
 
+    Interaction caveat: the majority-on-ignore drop runs BEFORE IoU
+    matching, so a prediction straddling an ignored sub-floor plume and
+    a real plume is removed entirely and can convert a would-be tp into
+    an fn. This is only reachable at low ``match_iou`` (a straddling
+    component cannot reach 0.5 IoU with the real plume alone once most
+    of its area lies elsewhere); at the default 0.5 the drop and the
+    match can never claim the same component.
+
     Pairwise intersections come from ONE joint bincount over the two
     label images, so cost is O(pixels + n_pred·n_true)."""
     from plumekit.native import ccl_label

@@ -203,3 +203,8 @@ def test_cli_sweep_object_metric(tmp_path):
     assert main(["evaluate_model", "--root", root, "--objects",
                  "--predictions", paths.resolve("predictions_dir"),
                  "--min-size", "0"]) == 1
+    # --bootstrap is likewise swallowed by the sweep's early return —
+    # the pair must fail fast too (ADVICE round 3)
+    assert main(["evaluate_model", "--root", root, "--bootstrap", "10",
+                 "--predictions", paths.resolve("predictions_dir"),
+                 "--sweep-threshold", "obj_f1"]) == 1
