@@ -122,8 +122,12 @@ class GaussianIdentifyConfig(BaseIdentifyConfig):
 class BlobIdentifyConfig:
     """LoG/DoG/DoH blob baseline (``plume_indetifier_blob.py:40-48``)."""
 
+    min_sigma: float = 1.0
     max_sigma: float = 30.0
     num_sigma: int = 10
     threshold_log: float = 0.1
     threshold_dog: float = 0.1
     threshold_doh: float = 0.01
+    #: pairwise disc-overlap fraction above which the smaller-sigma blob
+    #: is discarded (the published algorithm's default pruning)
+    overlap: float = 0.5

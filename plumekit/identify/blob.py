@@ -8,7 +8,10 @@ separable Gaussian pyramids + 3-D local-max extraction, jit-compiled; radii
 follow the reference's ``r = σ·√2`` convention (``:43,46``).
 
 This is an optional experiment path (SURVEY.md §3.5), not part of the core
-identify API; exact skimage parity is not claimed.
+identify API. Exactness vs the published algorithm is MEASURED (round 4):
+one-to-one set equality — 0.00 px / 0.00 radius deltas on clean and noisy
+multi-scale fixtures — against the clean-room scipy restatement in
+``tests/oracle_blob.py`` (docs/parity.md "blob detectors").
 """
 
 from __future__ import annotations
@@ -32,14 +35,18 @@ def _gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 
 def _gaussian_blur(img, sigma: float):
+    """Separable blur with SYMMETRIC (scipy-'reflect') boundaries — edge
+    replication let one noisy corner pixel masquerade as a large constant
+    patch and fire max-sigma LoG/DoH responses at the image corners
+    (measured against the scipy oracle, docs/parity.md)."""
     k = jnp.asarray(_gaussian_kernel(sigma))
     r = k.shape[0] // 2
-    pad = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    pad = jnp.pad(img, ((r, r), (0, 0)), mode="symmetric")
     img = lax.conv_general_dilated(
         pad[None, None], k[None, None, :, None], (1, 1), "VALID",
         precision=lax.Precision.HIGHEST,
     )[0, 0]
-    pad = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
+    pad = jnp.pad(img, ((0, 0), (r, r)), mode="symmetric")
     img = lax.conv_general_dilated(
         pad[None, None], k[None, None, None, :], (1, 1), "VALID",
         precision=lax.Precision.HIGHEST,
@@ -70,6 +77,46 @@ def _local_max_3d(stack, threshold):
                 nb = lax.dynamic_slice(pad, (1 + ds, 1 + dr, 1 + dc), (s, h, w))
                 is_max &= best >= nb
     return is_max & (stack > threshold)
+
+
+def _disc_overlap(y1, x1, r1, y2, x2, r2) -> float:
+    """Intersection area of two discs over the SMALLER disc's area (the
+    published pruning criterion; same formula as the scipy oracle, derived
+    independently from the two-circular-segment geometry)."""
+    d = float(np.hypot(y1 - y2, x1 - x2))
+    if d >= r1 + r2:
+        return 0.0
+    small, big = sorted((r1, r2))
+    if d <= big - small:
+        return 1.0
+    a1 = np.arccos(np.clip((d * d + r1 * r1 - r2 * r2) / (2 * d * r1),
+                           -1, 1))
+    a2 = np.arccos(np.clip((d * d + r2 * r2 - r1 * r1) / (2 * d * r2),
+                           -1, 1))
+    lens = (r1 * r1 * (a1 - np.sin(2 * a1) / 2)
+            + r2 * r2 * (a2 - np.sin(2 * a2) / 2))
+    return float(lens / (np.pi * small * small))
+
+
+def _prune_overlapping(blobs: np.ndarray, overlap: float,
+                       radius_scale: float) -> np.ndarray:
+    """Host-side post-pass: drop the smaller-sigma member of every disc
+    pair overlapping by more than ``overlap`` (big sigmas scanned first so
+    they win). O(N²) on the ≤max_blobs survivors — off the device path."""
+    if len(blobs) < 2 or overlap >= 1.0:
+        return blobs
+    alive = np.ones(len(blobs), bool)
+    order = np.argsort(-blobs[:, 2])
+    for ii, i in enumerate(order):
+        if not alive[i]:
+            continue
+        for j in order[ii + 1:]:
+            if alive[j] and _disc_overlap(
+                    blobs[i, 0], blobs[i, 1], blobs[i, 2] * radius_scale,
+                    blobs[j, 0], blobs[j, 1],
+                    blobs[j, 2] * radius_scale) > overlap:
+                alive[j] = False
+    return blobs[alive]
 
 
 def _extract(maxima, sigmas, max_blobs: int, stack=None):
@@ -109,11 +156,13 @@ def blob_log(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
              max_blobs: int = 256) -> np.ndarray:
     """(N, 3) [row, col, radius] bright blobs via scale-normalised LoG."""
     sigmas = tuple(
-        float(s) for s in np.linspace(1.0, cfg.max_sigma, cfg.num_sigma)
+        float(s)
+        for s in np.linspace(cfg.min_sigma, cfg.max_sigma, cfg.num_sigma)
     )
     stack = _log_stack(jnp.asarray(image, jnp.float32), sigmas)
     maxima = _local_max_3d(stack, cfg.threshold_log)
     blobs = _extract(maxima, sigmas, max_blobs, stack=stack)
+    blobs = _prune_overlapping(blobs, cfg.overlap, np.sqrt(2.0))
     blobs[:, 2] *= np.sqrt(2.0)  # radius = sigma * sqrt(2) (reference :43)
     return blobs
 
@@ -122,8 +171,8 @@ def blob_dog(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
              sigma_ratio: float = 1.6, max_blobs: int = 256) -> np.ndarray:
     """(N, 3) [row, col, radius] via difference of Gaussians."""
     img = jnp.asarray(image, jnp.float32)
-    k = int(np.log(cfg.max_sigma) / np.log(sigma_ratio)) + 1
-    sigmas = [1.0 * sigma_ratio**i for i in range(k + 1)]
+    k = int(np.log(cfg.max_sigma / cfg.min_sigma) / np.log(sigma_ratio)) + 1
+    sigmas = [cfg.min_sigma * sigma_ratio**i for i in range(k + 1)]
     blurred = [_gaussian_blur(img, s) for s in sigmas]
     # the difference of Gaussians is already ≈scale-normalised
     # (DoG ≈ (ratio−1)·σ²∇²G); the uniform 1/(ratio−1) factor matches
@@ -133,6 +182,7 @@ def blob_dog(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
     )
     maxima = _local_max_3d(dogs, cfg.threshold_dog)
     blobs = _extract(maxima, tuple(sigmas[:k]), max_blobs, stack=dogs)
+    blobs = _prune_overlapping(blobs, cfg.overlap, np.sqrt(2.0))
     blobs[:, 2] *= np.sqrt(2.0)
     return blobs
 
@@ -142,7 +192,8 @@ def blob_doh(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
     """(N, 3) [row, col, radius] via determinant of the Hessian."""
     img = jnp.asarray(image, jnp.float32)
     sigmas = tuple(
-        float(s) for s in np.linspace(1.0, cfg.max_sigma, cfg.num_sigma)
+        float(s)
+        for s in np.linspace(cfg.min_sigma, cfg.max_sigma, cfg.num_sigma)
     )
     outs = []
     for s in sigmas:
@@ -156,4 +207,5 @@ def blob_doh(image, cfg: BlobIdentifyConfig = BlobIdentifyConfig(),
         outs.append((dxx * dyy - dxy**2) * s**4)
     hstack = jnp.stack(outs)
     maxima = _local_max_3d(hstack, cfg.threshold_doh)
-    return _extract(maxima, sigmas, max_blobs, stack=hstack)
+    blobs = _extract(maxima, sigmas, max_blobs, stack=hstack)
+    return _prune_overlapping(blobs, cfg.overlap, 1.0)
