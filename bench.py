@@ -62,6 +62,16 @@ INT8 = os.environ.get("PLUMEKIT_BENCH_INT8", "1") == "1"
 # --prune-level); the metric name carries it. The U-Net default is the
 # cross-round-comparable headline.
 ARCH = os.environ.get("PLUMEKIT_BENCH_ARCH", "unet")
+# PLUMEKIT_BENCH_EMIT=uint8 runs the serving epilogue in the readback-codec
+# domain (InferConfig.emit): scan outputs, canvas assembly, threshold and
+# the returned plane at 1 byte/px instead of 4 (VERDICT round-3 weak #2)
+EMIT = os.environ.get("PLUMEKIT_BENCH_EMIT", "float")
+# secondary menu measurements appended to the JSON line (VERDICT round-3
+# #9): fast-tiling, pruned-L1, train-step and identify rates — so
+# non-headline regressions surface round-over-round. PLUMEKIT_BENCH_
+# SECONDARY=0 restores the headline-only run; each entry degrades to null
+# on its own failure instead of killing the line
+SECONDARY = os.environ.get("PLUMEKIT_BENCH_SECONDARY", "1") == "1"
 
 
 # set by main() when the TPU probe fails: the split-cache discipline
@@ -70,10 +80,8 @@ ARCH = os.environ.get("PLUMEKIT_BENCH_ARCH", "unet")
 CACHE_DIR = ".jax_cache"
 
 
-def bench_tpu() -> float:
+def _setup_cache():
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
     if CACHE_DIR:
         jax.config.update(
@@ -82,19 +90,41 @@ def bench_tpu() -> float:
                          CACHE_DIR))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def bench_tpu(granule=None, granules=None, tile=None, overlap=None,
+              batch_tiles=None, arch=None, int8=None, emit=None,
+              repeats=None) -> float:
+    """Chained-timing throughput of one serving configuration; every
+    parameter defaults to the env-driven headline config."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    granule = GRANULE if granule is None else granule
+    granules = GRANULES if granules is None else granules
+    tile = TILE if tile is None else tile
+    overlap = OVERLAP if overlap is None else overlap
+    batch_tiles = BATCH_TILES if batch_tiles is None else batch_tiles
+    arch = ARCH if arch is None else arch
+    int8 = INT8 if int8 is None else int8
+    emit = EMIT if emit is None else emit
+    repeats = REPEATS if repeats is None else repeats
+
+    _setup_cache()
+
     from plumekit.config.train import InferConfig, TrainConfig, UNetConfig
     from plumekit.infer import make_sliding_infer
     from plumekit.models import build_model
     from plumekit.train.state import create_state
 
-    parts = ARCH.split(":")
+    parts = arch.split(":")
     prune = next((int(t[1:]) for t in parts[1:] if t.startswith("p")), None)
     unet_cfg = UNetConfig(arch=parts[0],
                           deep_supervision="ds" in parts[1:],
                           prune_level=prune)
     # base 32, depth 4, bf16 compute
     state = create_state(jax.random.PRNGKey(0), unet_cfg,
-                         TrainConfig(tile_size=TILE))
+                         TrainConfig(tile_size=tile))
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
@@ -104,7 +134,7 @@ def bench_tpu() -> float:
     # channels but the current layer-by-layer integration loses it back to
     # pad/crop traffic between kernels (fused double-conv kernel keeping the
     # flattened layout across taps is the round-2 lever; see BASELINE.md).
-    if os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1" and INT8:
+    if os.environ.get("PLUMEKIT_BENCH_FUSED", "0") == "1" and int8:
         raise RuntimeError(
             "PLUMEKIT_BENCH_FUSED and PLUMEKIT_BENCH_INT8 are mutually "
             "exclusive forward paths — set PLUMEKIT_BENCH_INT8=0 for the "
@@ -115,7 +145,7 @@ def bench_tpu() -> float:
         from plumekit.models.fused_forward import make_fused_apply
 
         apply_fn = make_fused_apply(unet_cfg)
-    elif INT8:
+    elif int8:
         # int8 post-training-quantized forward: all convs on the MXU
         # s8×s8→s32 path (2× the bf16 rate on v5e) — the compute-ceiling
         # lever for the dispatch-amortised program (models/
@@ -124,16 +154,16 @@ def bench_tpu() -> float:
             make_quantized_apply, quantize_unet)
 
         calib = jnp.asarray(
-            np.random.default_rng(1).random((4, TILE, TILE,
+            np.random.default_rng(1).random((4, tile, tile,
                                              unet_cfg.in_channels),
                                             np.float32))
         variables = quantize_unet(variables, unet_cfg, calib)
         apply_fn = make_quantized_apply(unet_cfg)
     else:
         apply_fn = model.apply
-    icfg = InferConfig(tile_size=TILE, overlap=OVERLAP,
-                       batch_tiles=BATCH_TILES)
-    if GRANULES > 1:
+    icfg = InferConfig(tile_size=tile, overlap=overlap,
+                       batch_tiles=batch_tiles, emit=emit)
+    if granules > 1:
         from plumekit.infer.sliding import make_multi_granule_infer
 
         minfer = make_multi_granule_infer(apply_fn, icfg,
@@ -147,8 +177,8 @@ def bench_tpu() -> float:
                                    channels=unet_cfg.in_channels)
 
     rng = np.random.default_rng(0)
-    shape = ((GRANULE, GRANULE, unet_cfg.in_channels) if GRANULES == 1
-             else (GRANULES, GRANULE, GRANULE, unet_cfg.in_channels))
+    shape = ((granule, granule, unet_cfg.in_channels) if granules == 1
+             else (granules, granule, granule, unet_cfg.in_channels))
     image = jnp.asarray(rng.random(shape, np.float32))
     # timing discipline for the tunneled TPU platform: per-dispatch latency
     # is ~45 ms, block_until_ready does not synchronize, and identical
@@ -158,16 +188,107 @@ def bench_tpu() -> float:
     def repeated(variables, image):
         def body(_i, acc):
             probs, _ = infer(variables, image + acc * 1e-12)
-            return probs.mean()
+            # uint8 canvases still sync through a scalar readback; the
+            # mean feeds the chain as a float either way
+            return probs.astype(jnp.float32).mean()
 
-        return lax.fori_loop(0, REPEATS, body, jnp.float32(0))
+        return lax.fori_loop(0, repeats, body, jnp.float32(0))
 
     rep = jax.jit(repeated)
     _ = float(rep(variables, image))             # compile + warm-up
     t0 = time.perf_counter()
     _ = float(rep(variables, image))             # host readback = sync
     dt = time.perf_counter() - t0
-    return GRANULE * GRANULE * GRANULES * REPEATS / dt / 1e6
+    return granule * granule * granules * repeats / dt / 1e6
+
+
+def bench_train_step() -> float:
+    """Steady-interval production train-step rate (MPix/s) at the
+    16×128² quality-loop geometry: the device-resident-data loop
+    (train_model --device-data) at K=10 steps/dispatch — the round-4
+    shipped fast-loop config."""
+    import logging
+
+    from plumekit.config.train import DataConfig, TrainConfig, UNetConfig
+    from plumekit.train.loop import train
+
+    _setup_cache()
+    rates = []
+
+    class Tap(logging.Handler):
+        def emit(self, record):
+            if record.msg.startswith("step %d loss"):
+                rates.append(float(record.args[-1]))
+
+    tap = Tap()
+    logging.getLogger("plumekit.train.loop").addHandler(tap)
+    try:
+        train(unet_cfg=UNetConfig(),
+              train_cfg=TrainConfig(total_steps=120, batch_size=16,
+                                    tile_size=128, log_every=40,
+                                    eval_every=0, steps_per_dispatch=10,
+                                    device_data=True),
+              data_cfg=DataConfig(granule_size=256, n_train_granules=2,
+                                  n_eval_granules=1),
+              checkpoint=False)
+    finally:
+        logging.getLogger("plumekit.train.loop").removeHandler(tap)
+    # first interval carries compile; steady = best of the rest
+    return max(rates[1:] or rates)
+
+
+def bench_identify_ms() -> float:
+    """Device rg identify sweep, ms per 1200² scene (the round-2/3
+    identify protocol at G=1), chained timing."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    _setup_cache()
+
+    from plumekit.config.identify import RGIdentifyConfig
+    from plumekit.identify.locate import locate_fires_in_image, pad_fires
+    from plumekit.identify.pipeline import cached_sweep_identifier
+    from plumekit.identify.rg import _statics
+    from plumekit.io.fires import subset_fires_to_image
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+    from plumekit.ops.cluster import mean_cluster_positions
+
+    cfg = RGIdentifyConfig()
+    fn = cached_sweep_identifier(_statics(cfg))
+    th_j = jnp.asarray(np.asarray(cfg.thresholds, np.float32))
+    scene = make_scene(SyntheticSceneConfig(
+        size=1200, n_plumes=9, seed=0, background_level=0.2,
+        background_noise=0.05, plume_amplitude=(0.6, 0.8),
+        plume_sigma_major=(9.0, 14.0), plume_sigma_minor=(1.8, 2.6),
+        fires_per_plume=(7, 9), extra_fires=4))
+    aod = scene.granule.first_layer()
+    date = scene.fires.date_time.iloc[0]
+    sub = subset_fires_to_image(scene.granule.lat, scene.granule.lon,
+                                scene.fires, date, min_frp=cfg.min_frp)
+    clusters = mean_cluster_positions(sub, cfg.cluster_dist_km)
+    rows, cols = locate_fires_in_image(
+        clusters.latitude, clusters.longitude,
+        scene.granule.lat, scene.granule.lon, cfg.win_half)
+    fr, fc, fv = pad_fires(rows, cols, cfg.max_fires)
+    aod_j = jnp.asarray(aod, jnp.float32)
+    nulls = jnp.zeros(aod.shape, bool)
+    reps = 3
+
+    def repeated(aod_j):
+        def body(_i, acc):
+            out = fn(aod_j + acc * 1e-12, aod_j, nulls, th_j,
+                     jnp.asarray(fr), jnp.asarray(fc), jnp.asarray(fv))
+            return (jnp.sum(out["extents"]).astype(jnp.float32)
+                    + jnp.sum(out["accepted"])) * 1e-12
+
+        return lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    rep = jax.jit(repeated)
+    _ = float(rep(aod_j))
+    t0 = time.perf_counter()
+    _ = float(rep(aod_j))
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def bench_torch_cpu() -> float:
@@ -285,15 +406,38 @@ def main() -> int:
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline = float("nan")
     vs = value / baseline if baseline == baseline else float("nan")
-    print(json.dumps({
+    secondary = {}
+    if SECONDARY and not backend_note:
+        # the non-headline menu (VERDICT round-3 #9): each entry degrades
+        # to null on its own failure so one bad path can't hide the rest
+        menu = {
+            "fast_tiling_mpix_s": lambda: bench_tpu(tile=256, overlap=0),
+            "fast_uint8_mpix_s": lambda: bench_tpu(tile=256, overlap=0,
+                                                   emit="uint8"),
+            "pruned_l1_mpix_s": lambda: bench_tpu(tile=256, overlap=0,
+                                                  arch="unetpp:ds:p1"),
+            "train_step_mpix_s": bench_train_step,
+            "identify_ms_scene": bench_identify_ms,
+        }
+        for key, fn in menu.items():
+            try:
+                secondary[key] = round(fn(), 2)
+            except Exception as e:
+                print(f"secondary {key} failed: {e!r}", file=sys.stderr)
+                secondary[key] = None
+    line = {
         "metric": (("unet" if ARCH == "unet" else
                     ARCH.replace(":", "_"))
                    + "_sliding_window_inference"
-                   + ("_int8" if INT8 else "")),
+                   + ("_int8" if INT8 else "")
+                   + ("_uint8emit" if EMIT == "uint8" else "")),
         "value": round(value, 2),
         "unit": "MPix/s/chip" + backend_note,
         "vs_baseline": round(vs, 2) if vs == vs else None,
-    }))
+    }
+    if secondary:
+        line["secondary"] = secondary
+    print(json.dumps(line))
     return 0
 
 

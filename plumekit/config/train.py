@@ -167,3 +167,13 @@ class InferConfig:
     overlap: int = 32             # blended overlap between adjacent tiles
     batch_tiles: int = 64         # tiles per device batch
     threshold: float = 0.5        # mask = sigmoid(logit) > threshold
+    #: probability-plane dtype of the returned canvas: "float" (fp32) or
+    #: "uint8" (p8 = rint(p·255), the readback codec of ``ops/quant``).
+    #: With uint8 the whole post-forward epilogue — scan outputs, canvas
+    #: assembly, threshold, and the (G, H, W) result the host reads back —
+    #: runs at 1 byte/px instead of 4; the mask compares p8 against
+    #: ⌊threshold·255⌋ so decisions flip only within 1/510 of the
+    #: threshold (the documented codec band). Overlap-blend still
+    #: accumulates fp32 and encodes at the end (weighted sums need the
+    #: headroom); the fast overlap=0 path is uint8 end-to-end
+    emit: str = "float"

@@ -84,7 +84,13 @@ class UTMProjection:
         n = _A / np.sqrt(1 - _E2 * sin_lat**2)
         t = tan_lat**2
         c = _EP2 * cos_lat**2
-        a = (lon - lon0) * cos_lat
+        # wrap Δlon into (−π, π]: an antimeridian swath projected in zone
+        # 1/60 otherwise feeds ±357° differences into the series and blows
+        # the grid extent to planetary scale (round-4 antimeridian fuzz;
+        # pyproj wraps identically)
+        dlon = lon - lon0
+        dlon = dlon - 2 * np.pi * np.round(dlon / (2 * np.pi))
+        a = dlon * cos_lat
         m = _meridional_arc(lat)
 
         east = _FALSE_E + _K0 * n * (
@@ -139,7 +145,12 @@ class UTMProjection:
             - (1 + 2 * t1 + c1) * d**3 / 6
             + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2) * d**5 / 120
         ) / cos_fp
-        return np.degrees(lon), np.degrees(lat)
+        lon_deg = np.degrees(lon)
+        # normalize to [−180, 180): zone-1/60 grids otherwise return
+        # longitudes past the antimeridian (matches pyproj's convention and
+        # the swath inputs')
+        lon_deg = (lon_deg + 180.0) % 360.0 - 180.0
+        return lon_deg, np.degrees(lat)
 
 
 class UTMResampler:

@@ -287,20 +287,28 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
         has_idx &= fire_valid
 
         def per_fire(ti, f_idx, r, c):
-            res_a = assess_at(
-                labels_all, sizes_tf, aod_det, aod_stat, null_mask, ti,
-                f_idx, r, c
-            )
             if not s.use_mask_b:
+                res_a = assess_at(
+                    labels_all, sizes_tf, aod_det, aod_stat, null_mask, ti,
+                    f_idx, r, c
+                )
                 return res_a | {"t_used": ti}
             # python negative indexing wrap: THRESHOLD_SET[idx-1] with idx=0
             # reads the *last* threshold (committed reference behavior,
             # plume_identifier_rg.py:386)
             ti_b = jnp.where(ti - 1 < 0, t_count - 1, ti - 1)
-            res_b = assess_at(
-                labels_all, sizes_tf, aod_det, aod_stat, null_mask, ti_b,
-                f_idx, r, c
-            )
+            # ONE vmapped assessment for both candidate thresholds instead
+            # of two sequential calls: on the relay runtime every EXECUTED
+            # HLO op costs ~45 µs of dispatch, so halving the assess
+            # phase's op count (each op now carries the (a, b) pair on a
+            # leading axis) cuts directly into the ~21 ms/scene residual
+            # the round-3 VERDICT flagged (#6); values are unchanged
+            res2 = jax.vmap(
+                lambda tix: assess_at(labels_all, sizes_tf, aod_det,
+                                      aod_stat, null_mask, tix, f_idx, r, c)
+            )(jnp.stack([ti, ti_b]))
+            res_a = jax.tree_util.tree_map(lambda x: x[0], res2)
+            res_b = jax.tree_util.tree_map(lambda x: x[1], res2)
             sum_a = jnp.sum(res_a["mask"])
             sum_b = jnp.sum(res_b["mask"])
             if s.pick_larger_mask:

@@ -97,6 +97,12 @@ def make_sliding_infer(
     slower)."""
     tile = cfg.tile_size
     stride = tile - cfg.overlap
+    if cfg.emit not in ("float", "uint8"):
+        raise ValueError(f"emit must be 'float' or 'uint8', got {cfg.emit!r}")
+    emit_u8 = cfg.emit == "uint8"
+    # mask rule in the uint8 domain: p8 > ⌊t·255⌋ ⟺ p > t within the
+    # 1/510 codec band (same contract as the streaming readback codec)
+    thresh_u8 = int(np.floor(cfg.threshold * 255.0))
     if stride < 1:
         raise ValueError(
             f"overlap ({cfg.overlap}) must be smaller than tile_size "
@@ -175,14 +181,34 @@ def make_sliding_infer(
             probs, mask = infer(variables, padded)
             return probs[:h, :w], mask[:h, :w]
 
-        def forward_batch(image, batch_origins):
+        def _finish(probs):
+            """Blend/general-path epilogue: fp32 accumulation is already
+            done; with emit="uint8" the RESULT encodes to the readback
+            codec so the returned canvas (and any host readback) is
+            1 byte/px."""
+            if emit_u8:
+                from plumekit.ops.quant import quantize_probs_uint8
+
+                p8 = quantize_probs_uint8(probs)
+                return p8, p8 > jnp.uint8(thresh_u8)
+            return probs, probs > cfg.threshold
+
+        def forward_batch(image, batch_origins, as_u8: bool = False):
             tiles = jax.vmap(
                 lambda o: lax.dynamic_slice(
                     image, (o[0], o[1], 0), (tile, tile, channels)
                 )
             )(batch_origins)
             logits = apply_fn(variables, tiles, train=False)
-            return jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+            probs = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+            if as_u8:
+                # encode INSIDE the forward epilogue (fuses with the
+                # sigmoid): scan outputs, canvas, and result drop to
+                # 1 byte/px for the whole post-forward pipeline
+                from plumekit.ops.quant import quantize_probs_uint8
+
+                return quantize_probs_uint8(probs)
+            return probs
 
         # ---- regular-grid fast path: pad the image (edge mode) so every
         # tile sits on the stride lattice, run all forwards, then assemble
@@ -199,8 +225,10 @@ def make_sliding_infer(
             img = jnp.pad(image, ((0, h2 - h), (0, w2 - w), (0, 0)),
                           mode="edge")
             origins = jnp.asarray(padded_origins).reshape(-1, eff, 2)
+            fast_u8 = emit_u8 and cfg.overlap == 0
             _, probs_all = lax.scan(
-                lambda c, o: (c, forward_batch(img, o)), 0, origins
+                lambda c, o: (c, forward_batch(img, o, as_u8=fast_u8)),
+                0, origins
             )
             probs_all = probs_all.reshape(-1, tile, tile)[:n]
             if cfg.overlap == 0:
@@ -214,6 +242,8 @@ def make_sliding_infer(
                 canvas = probs_all.reshape(ny, nx, tile, tile) \
                     .transpose(0, 2, 1, 3).reshape(ny * tile, nx * tile)
                 probs = canvas[:h, :w]
+                if fast_u8:
+                    return probs, probs > jnp.uint8(thresh_u8)
                 return probs, probs > cfg.threshold
             weight2d = jnp.asarray(weight2d_np)
             inv_weight = make_inv(h, w)
@@ -242,7 +272,7 @@ def make_sliding_infer(
                     )
                     canvas = canvas + sheet
             probs = canvas[:h, :w] * inv_weight
-            return probs, probs > cfg.threshold
+            return _finish(probs)
 
         # ---- general path: clamped grids / tiny images / deep overlap ----
         ny, nx, n, eff, padded_origins, weight2d_np, make_inv = \
@@ -270,7 +300,7 @@ def make_sliding_infer(
         prob_canvas, _ = lax.scan(run_batch, jnp.zeros((h, w), jnp.float32),
                                   origins)
         probs = prob_canvas * inv_weight
-        return probs, probs > cfg.threshold
+        return _finish(probs)
 
     return infer
 

@@ -177,7 +177,15 @@ def read_maiac_hdf4(path: str, max_layers_rule: bool = True,
 
     layers: Dict[str, np.ndarray] = {}
     for i, timestamp in indexed:
-        t = re.search(r"[0-9]{11}[A-Z]", timestamp).group()
+        m = re.search(r"[0-9]{11}[A-Z]", timestamp)
+        if m is None:
+            # a malformed stamp used to die two lines later with a bare
+            # AttributeError on .group() — name the file and the offender
+            raise ValueError(
+                f"{path}: malformed orbit timestamp {timestamp!r} in "
+                "Orbit_time_stamp (expected 11 digits + platform letter, "
+                "e.g. '20172302054A')")
+        t = m.group()
         aod = hdf.select("Optical_Depth_055")[i, :, :].astype(np.float32) * AOD_SCALE
         aod[aod < 0] = NULL_VALUE
         layers[t] = aod
