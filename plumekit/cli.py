@@ -400,6 +400,27 @@ def cmd_train_model(args) -> int:
     curated_dir = None
     if args.curated:
         curated_dir = PathsConfig(root=args.root).resolve("model_data_dir")
+    distill_calibrate = None
+    if args.distill_calibrate is not None:
+        if args.distill_calibrate == "auto":
+            import json as _json
+
+            path = os.path.join(args.root, PathsConfig().model_dir,
+                                THRESHOLD_BASENAME)
+            try:
+                with open(path) as f:
+                    distill_calibrate = float(_json.load(f)["threshold"])
+            except (OSError, ValueError, KeyError, TypeError,
+                    _json.JSONDecodeError) as e:
+                logger.error(
+                    "--distill-calibrate given without a value but %s is "
+                    "unreadable (%s); run evaluate_model --sweep-threshold "
+                    "--write-threshold first or pass the value", path, e)
+                return 1
+            logger.info("distill calibration threshold %.2f from %s",
+                        distill_calibrate, path)
+        else:
+            distill_calibrate = float(args.distill_calibrate)
     history = train(
         unet_cfg=UNetConfig(arch=args.arch,
                             deep_supervision=args.deep_supervision),
@@ -414,6 +435,8 @@ def cmd_train_model(args) -> int:
             distill_alpha=args.distill_alpha,
             distill_temp=args.distill_temp,
             distill_prune_level=args.distill_prune_level,
+            distill_tta=args.distill_tta,
+            distill_calibrate=distill_calibrate,
         ),
         data_cfg=DataConfig(granule_size=args.granule_size),
         mesh_cfg=mesh,
@@ -1464,6 +1487,16 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--distill-prune-level", type=int, default=None,
                    help="serve a UNet++ deep-supervision teacher pruned at "
                         "this fusion column (see predict --prune-level)")
+    t.add_argument("--distill-tta", action="store_true",
+                   help="D4-average the teacher's soft labels (8 views in "
+                        "one folded forward) — offline ensemble denoising "
+                        "of the targets")
+    t.add_argument("--distill-calibrate", nargs="?", const="auto",
+                   default=None, metavar="THRESH",
+                   help="recenter teacher logits so its calibrated "
+                        "operating point maps to 0.5; pass a threshold or "
+                        "nothing to read <root>/models/threshold.json "
+                        "(written by evaluate_model --write-threshold)")
     t.set_defaults(fn=cmd_train_model)
 
     def _add_serving_args(p):

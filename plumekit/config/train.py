@@ -121,6 +121,14 @@ class TrainConfig:
     #: sliding-infer geometry for the teacher pass (None = the serving
     #: default, the measured 288/32/64 optimum; tests shrink it)
     distill_infer: Optional["InferConfig"] = None
+    #: D4-average the teacher's soft labels (8 views in one folded forward
+    #: — offline ensemble denoising of the targets at one-time cost)
+    distill_tta: bool = False
+    #: recenter teacher logits so its calibrated operating point t* maps
+    #: to 0.5 (``p' = sigmoid(z/T − logit(t*))``): the student inherits
+    #: calibrated targets instead of re-learning the shift. Pass the
+    #: threshold persisted by ``evaluate_model --write-threshold``
+    distill_calibrate: Optional[float] = None
 
 
 @dataclass(frozen=True)

@@ -85,18 +85,37 @@ def distill_samples(
     temperature: float = 1.0,
     prune_level: Optional[int] = None,
     infer_cfg: Optional[InferConfig] = None,
+    tta: bool = False,
+    calibrate_threshold: Optional[float] = None,
 ) -> List[GranuleSample]:
     """Re-label granules with the teacher's soft probabilities blended into
     the existing labels: ``mask' = alpha * sigmoid(teacher_logits / T) +
     (1 - alpha) * mask``. ``alpha=1`` trains purely on the teacher,
     ``alpha=0`` is a no-op. Channels are untouched; the eval/dev set should
     NOT pass through here (dev IoU must stay measured against the original
-    labels to be comparable across runs)."""
+    labels to be comparable across runs).
+
+    Round-4 teacher-quality dials (VERDICT round-3 next #3):
+
+    * ``tta`` — D4-average the teacher's probabilities (8 views folded
+      into one forward, ``infer/tta.py``): the ensemble denoises the soft
+      labels at one-time offline cost.
+    * ``calibrate_threshold`` — recenter the teacher's logits so its
+      CALIBRATED operating point t* maps to probability 0.5:
+      ``p' = sigmoid(z/T − logit(t*))``. The round-3 sweep showed the
+      weak-label teacher's true operating point sits at ~0.70; without
+      recentring the student inherits miscalibrated targets and has to
+      re-learn the shift (it self-calibrates to ~0.60, BASELINE.md).
+      Pass the value persisted by ``evaluate_model --write-threshold``.
+    """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"distill alpha must be in [0, 1], got {alpha}")
     if temperature <= 0.0:
         raise ValueError(f"distill temperature must be > 0, got "
                          f"{temperature}")
+    if calibrate_threshold is not None and not 0.0 < calibrate_threshold < 1.0:
+        raise ValueError(f"calibrate_threshold must be in (0, 1), got "
+                         f"{calibrate_threshold}")
     if alpha == 0.0:
         # labels would come out identical — skip the teacher restore and
         # the full-granule inference pass entirely
@@ -109,11 +128,20 @@ def distill_samples(
             f"teacher expects {cfg.in_channels} input channels, samples "
             f"have {samples[0].channels.shape[-1]}")
 
-    if temperature != 1.0:
+    shift = (0.0 if calibrate_threshold is None
+             else float(np.log(calibrate_threshold
+                               / (1.0 - calibrate_threshold))))
+    if temperature != 1.0 or shift != 0.0:
         base_apply = apply_fn
 
         def apply_fn(v, x, train=False):      # noqa: F811
-            return base_apply(v, x, train=train) / temperature
+            return base_apply(v, x, train=train) / temperature - shift
+    if tta:
+        # D4-averaged teacher: wraps AFTER the shift so the ensemble
+        # averages the recentred probabilities
+        from plumekit.infer.tta import make_tta_apply
+
+        apply_fn = make_tta_apply(apply_fn)
 
     from plumekit.infer import make_sliding_infer
 
@@ -129,8 +157,9 @@ def distill_samples(
                    + (1.0 - alpha) * s.mask.astype(np.float32))
         ns = GranuleSample(channels=s.channels, mask=blended)
         out.append(ns)
-    logger.info("distilled %d granules (alpha=%.2f T=%.2f)",
-                len(out), alpha, temperature)
+    logger.info("distilled %d granules (alpha=%.2f T=%.2f tta=%s "
+                "calibrate=%s)", len(out), alpha, temperature, tta,
+                calibrate_threshold)
     return out
 
 

@@ -141,7 +141,9 @@ def train(
             alpha=train_cfg.distill_alpha,
             temperature=train_cfg.distill_temp,
             prune_level=train_cfg.distill_prune_level,
-            infer_cfg=train_cfg.distill_infer)
+            infer_cfg=train_cfg.distill_infer,
+            tta=train_cfg.distill_tta,
+            calibrate_threshold=train_cfg.distill_calibrate)
     device_fn = device_set = None
     if train_cfg.device_data:
         # HBM-resident data (VERDICT round-3 #1): the whole training set is

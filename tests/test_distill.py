@@ -170,3 +170,59 @@ def test_distill_unetpp_teacher_with_pruning(tmp_path):
     for s in out:
         assert np.all(s.mask >= 0.0) and np.all(s.mask <= 1.0)
         assert np.any((s.mask > 0.0) & (s.mask < 1.0))
+
+
+def test_distill_calibrate_recenters(tmp_path):
+    """calibrate_threshold=t* shifts probabilities by logit(t*):
+    p' = sigmoid(logit(p) − logit(t*)) exactly, so pixels the teacher
+    scores at t* land at 0.5 in the student's targets."""
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path)
+    samples = make_synthetic_dataset(DATA, train=True)
+    # overlap 0: the taper would otherwise blend AFTER the per-tile logit
+    # shift and the closed-form check below would not commute
+    flat = InferConfig(tile_size=32, overlap=0, batch_tiles=4)
+    base = distill_samples(samples, ckpt, alpha=1.0, infer_cfg=flat)
+    cal = distill_samples(samples, ckpt, alpha=1.0, infer_cfg=flat,
+                          calibrate_threshold=0.7)
+    shift = np.log(0.7 / 0.3)
+    for b, c in zip(base, cal):
+        p = np.clip(b.mask, 1e-6, 1 - 1e-6)
+        expected = 1.0 / (1.0 + np.exp(-(np.log(p / (1 - p)) - shift)))
+        np.testing.assert_allclose(c.mask, expected, atol=2e-4)
+        # recentring strictly lowers every probability for t* > 0.5
+        assert np.all(c.mask <= b.mask + 1e-6)
+    with pytest.raises(ValueError, match="calibrate_threshold"):
+        distill_samples(samples, ckpt, calibrate_threshold=1.0)
+
+
+def test_distill_tta_matches_manual_d4_average(tmp_path):
+    """tta=True labels equal the mean of the 8 dihedral relabelings done
+    by hand through the same sliding infer (overlap 0 keeps the taper out
+    so the views commute with stitching exactly)."""
+    from plumekit.train.data import GranuleSample
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path)
+    flat = InferConfig(tile_size=32, overlap=0, batch_tiles=4)
+    samples = make_synthetic_dataset(DATA, train=True)[:1]
+
+    got = distill_samples(samples, ckpt, alpha=1.0, infer_cfg=flat,
+                          tta=True)[0].mask
+
+    acc = np.zeros_like(samples[0].mask, np.float64)
+    for f in (False, True):
+        for k in range(4):
+            ch = samples[0].channels
+            v = np.flip(ch, axis=1) if f else ch
+            v = np.rot90(v, k, axes=(0, 1))
+            out = distill_samples(
+                [GranuleSample(channels=np.ascontiguousarray(v),
+                               mask=np.zeros(v.shape[:2], np.float32))],
+                ckpt, alpha=1.0, infer_cfg=flat)[0].mask
+            back = np.rot90(out, -k, axes=(0, 1))
+            if f:
+                back = np.flip(back, axis=1)
+            acc += back
+    np.testing.assert_allclose(got, acc / 8.0, atol=2e-5)
