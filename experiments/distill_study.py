@@ -59,6 +59,17 @@ p.add_argument("--teacher-dir", default="/tmp/distill_study_teacher")
 p.add_argument("--skip-baseline", action="store_true",
                help="skip leg 1 (reuse a same-protocol number from "
                     "BASELINE.md instead)")
+p.add_argument("--tta", action="store_true",
+               help="D4-average the teacher's soft labels (round-4 "
+                    "teacher-quality dial)")
+p.add_argument("--calibrate", default=None,
+               help="'sweep' = sweep the teacher's pooled dev operating "
+                    "curve and recenter its logits at the optimum; or an "
+                    "explicit threshold value")
+p.add_argument("--students", default="",
+               help="extra student capacities as BASExDEPTH comma list "
+                    "(e.g. 40x4,32x5) — each gets its own distill leg at "
+                    "the FIRST alpha")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 alphas = [float(a) for a in args.alphas.split(",") if a.strip()]
@@ -161,10 +172,44 @@ run("teacher-unetpp-ds", teacher_cfg,
     dataclasses.replace(base_cfg, checkpoint_dir=args.teacher_dir),
     checkpoint=True)
 
+calibrate = None
+if args.calibrate == "sweep":
+    # the teacher's own pooled operating curve on the GT dev set — the
+    # round-3 calibration artifact, computed inline so the distill legs
+    # recenter at the teacher's true optimum (VERDICT round-3 next #3a)
+    import jax.numpy as jnp
+
+    from plumekit.infer import make_sliding_infer
+    from plumekit.train.distill import load_teacher
+    from plumekit.train.evaluate import best_threshold, sweep_thresholds
+
+    t_apply, t_vars, t_cfg = load_teacher(args.teacher_dir)
+    t_inf = make_sliding_infer(t_apply, distill_infer,
+                               channels=t_cfg.in_channels)
+    pairs = ((f"dev{i}", np.asarray(t_inf(t_vars,
+                                          jnp.asarray(s.channels))[0]),
+              s.mask > 0.5) for i, s in enumerate(dev))
+    calibrate, cal_iou = best_threshold(sweep_thresholds(pairs),
+                                        metric="iou")
+    results["teacher-calibration"] = {"threshold": calibrate,
+                                      "dev_iou_at_t": cal_iou}
+    print(f"teacher calibrated threshold {calibrate:.2f} "
+          f"(dev IoU {cal_iou:.4f} vs 0.5-default above)")
+elif args.calibrate is not None:
+    calibrate = float(args.calibrate)
+
+distill_kw = dict(distill_from=args.teacher_dir, distill_temp=args.temp,
+                  distill_infer=distill_infer, distill_tta=args.tta,
+                  distill_calibrate=calibrate)
 for alpha in alphas:
     run(f"student-distill-a{alpha:g}", student_cfg,
-        dataclasses.replace(base_cfg, distill_from=args.teacher_dir,
-                            distill_alpha=alpha, distill_temp=args.temp,
-                            distill_infer=distill_infer))
+        dataclasses.replace(base_cfg, distill_alpha=alpha, **distill_kw))
+
+for spec in (s for s in args.students.split(",") if s.strip()):
+    sb, sd = (int(v) for v in spec.lower().split("x"))
+    run(f"student-{sb}x{sd}-distill-a{alphas[0]:g}",
+        UNetConfig(arch="unet", base_features=sb, depth=sd),
+        dataclasses.replace(base_cfg, distill_alpha=alphas[0],
+                            **distill_kw))
 
 print(json.dumps(results))
