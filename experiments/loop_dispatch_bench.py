@@ -37,6 +37,12 @@ p.add_argument("--device-data", action="store_true",
                help="also time each K with the HBM-resident dataset "
                     "(tiles drawn inside the scanned program; zero per-"
                     "step upload)")
+p.add_argument("--modes", default=None,
+               help="explicit comma list from fp32,quant,dev,devq "
+                    "(overrides the flag-derived mode set; skipping the "
+                    "fp32 legs matters at big K — their chunked uploads "
+                    "are transfer-bound and their scanned programs cost "
+                    "minutes of remote compile each)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -94,12 +100,19 @@ def run(k: int, quantize: bool = False, device_data: bool = False):
 
 
 px = batch * tile * tile * args.steps
-modes = [("fp32 ", {})]
-if args.quantize:
-    modes.append(("quant", {"quantize": True}))
-if args.device_data:
-    modes.append(("dev  ", {"device_data": True}))
-    modes.append(("dev+q", {"device_data": True, "quantize": True}))
+ALL_MODES = {"fp32": ("fp32 ", {}),
+             "quant": ("quant", {"quantize": True}),
+             "dev": ("dev  ", {"device_data": True}),
+             "devq": ("dev+q", {"device_data": True, "quantize": True})}
+if args.modes:
+    modes = [ALL_MODES[m] for m in args.modes.split(",") if m]
+else:
+    modes = [ALL_MODES["fp32"]]
+    if args.quantize:
+        modes.append(ALL_MODES["quant"])
+    if args.device_data:
+        modes.append(ALL_MODES["dev"])
+        modes.append(ALL_MODES["devq"])
 for k in (int(v) for v in args.ks.split(",")):
     for tag, kw in modes:
         _ = run(k, **kw)             # compile + warm (persistent cache)
