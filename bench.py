@@ -62,6 +62,10 @@ INT8 = os.environ.get("PLUMEKIT_BENCH_INT8", "1") == "1"
 # --prune-level); the metric name carries it. The U-Net default is the
 # cross-round-comparable headline.
 ARCH = os.environ.get("PLUMEKIT_BENCH_ARCH", "unet")
+# model capacity (round-4 distillation capacity sweep serves non-default
+# students); defaults are the flagship base 32 / depth 4
+BASE = int(os.environ.get("PLUMEKIT_BENCH_BASE", "32"))
+DEPTH = int(os.environ.get("PLUMEKIT_BENCH_DEPTH", "4"))
 # PLUMEKIT_BENCH_EMIT=uint8 runs the serving epilogue in the readback-codec
 # domain (InferConfig.emit): scan outputs, canvas assembly, threshold and
 # the returned plane at 1 byte/px instead of 4 (VERDICT round-3 weak #2)
@@ -93,7 +97,7 @@ def _setup_cache():
 
 def bench_tpu(granule=None, granules=None, tile=None, overlap=None,
               batch_tiles=None, arch=None, int8=None, emit=None,
-              repeats=None) -> float:
+              repeats=None, base=None, depth=None) -> float:
     """Chained-timing throughput of one serving configuration; every
     parameter defaults to the env-driven headline config."""
     import jax
@@ -117,11 +121,14 @@ def bench_tpu(granule=None, granules=None, tile=None, overlap=None,
     from plumekit.models import build_model
     from plumekit.train.state import create_state
 
+    base = BASE if base is None else base
+    depth = DEPTH if depth is None else depth
     parts = arch.split(":")
     prune = next((int(t[1:]) for t in parts[1:] if t.startswith("p")), None)
     unet_cfg = UNetConfig(arch=parts[0],
                           deep_supervision="ds" in parts[1:],
-                          prune_level=prune)
+                          prune_level=prune,
+                          base_features=base, depth=depth)
     # base 32, depth 4, bf16 compute
     state = create_state(jax.random.PRNGKey(0), unet_cfg,
                          TrainConfig(tile_size=tile))
@@ -430,7 +437,9 @@ def main() -> int:
                     ARCH.replace(":", "_"))
                    + "_sliding_window_inference"
                    + ("_int8" if INT8 else "")
-                   + ("_uint8emit" if EMIT == "uint8" else "")),
+                   + ("_uint8emit" if EMIT == "uint8" else "")
+                   + (f"_b{BASE}d{DEPTH}" if (BASE, DEPTH) != (32, 4)
+                      else "")),
         "value": round(value, 2),
         "unit": "MPix/s/chip" + backend_note,
         "vs_baseline": round(vs, 2) if vs == vs else None,

@@ -257,15 +257,25 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
                 label_one, jnp.zeros((h, w), jnp.int32), opened
             )
 
-        def window_label(lab_img, r, c):
-            return label_window_nearest(lab_img, r, c, s.win_half)
+        # (T, F) nearest labels + found flags. One (T, size, size) slab
+        # slice per FIRE (the window is threshold-independent) instead of
+        # T·F independent 2-D window gathers: the vmapped-over-both-axes
+        # form lowered to a ~15 ms fixed-cost gather at every scene size
+        # (round-4 stage attribution); the slab form is F contiguous
+        # 3-D dynamic slices
+        size = 2 * s.win_half + 1
+        from plumekit.ops.segment import window_label_from
 
-        # (T, F) nearest labels + found flags
-        lab_tf, found_tf = jax.vmap(
-            lambda lab: jax.vmap(lambda r, c: window_label(lab, r, c))(
-                fire_rows, fire_cols
-            )
-        )(labels_all)
+        def fire_windows(r, c):
+            sr = jnp.clip(r - s.win_half, 0, h - size)
+            sc = jnp.clip(c - s.win_half, 0, w - size)
+            slab = lax.dynamic_slice(labels_all, (0, sr, sc),
+                                     (t_count, size, size))
+            return jax.vmap(
+                lambda win: window_label_from(win, r, c, sr, sc))(slab)
+
+        lab_ft, found_ft = jax.vmap(fire_windows)(fire_rows, fire_cols)
+        lab_tf, found_tf = lab_ft.T, found_ft.T
 
         # per-(threshold, fire) component sizes as masked counts — F scalar
         # comparisons fused over one pass of each label image. The former

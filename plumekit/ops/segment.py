@@ -106,6 +106,15 @@ def label_window_nearest(labels, r, c, win_half: int):
     start_r = jnp.clip(r - win_half, 0, labels.shape[0] - size)
     start_c = jnp.clip(c - win_half, 0, labels.shape[1] - size)
     win = lax.dynamic_slice(labels, (start_r, start_c), (size, size))
+    return window_label_from(win, r, c, start_r, start_c)
+
+
+def window_label_from(win, r, c, start_r, start_c):
+    """The lookup half of :func:`label_window_nearest` on a pre-extracted
+    window (shared so batched callers — e.g. the sweep pipeline's one
+    (T, size, size) slab slice per fire — can never drift from the
+    single-window semantics, including the row-major argmin tie-break)."""
+    size = win.shape[-1]
     rr = jnp.arange(size, dtype=jnp.float32)[:, None] - (
         r - start_r).astype(jnp.float32)
     cc = jnp.arange(size, dtype=jnp.float32)[None, :] - (
