@@ -153,3 +153,20 @@ def test_int8_forward_parity_on_chip(tpu):
     japply = jax.jit(lambda q, t: apply(q, t))
     loop = np.stack([np.asarray(japply(qvars, xg[g])) for g in range(3)])
     np.testing.assert_allclose(vm, loop, rtol=0, atol=2e-3)
+
+
+def test_label_counts_kernel_parity_on_chip(tpu):
+    """The fire-label-counts kernel (round 4): compiled counts bit-equal
+    to the XLA compare+reduce on random label planes."""
+    import jax.numpy as jnp
+
+    from plumekit.ops.pallas.label_counts import fire_label_counts
+
+    rng = np.random.default_rng(11)
+    labels = rng.integers(0, 80, (6, 300, 411)).astype(np.int32)
+    labs = rng.integers(0, 90, (6, 32)).astype(np.int32)
+    got = np.asarray(fire_label_counts(jnp.asarray(labels),
+                                       jnp.asarray(labs)))
+    want = (labels[:, None] == labs[:, :, None, None]).sum(
+        (2, 3)).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
