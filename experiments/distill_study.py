@@ -70,6 +70,16 @@ p.add_argument("--students", default="",
                help="extra student capacities as BASExDEPTH comma list "
                     "(e.g. 40x4,32x5) — each gets its own distill leg at "
                     "the FIRST alpha")
+p.add_argument("--regime", choices=["clean", "false-plume"],
+               default="clean",
+               help="false-plume: distractor blobs + permissive labeller "
+                    "(the quality_loop regime where curation pays)")
+p.add_argument("--teacher-labels", choices=["weak", "curmask"],
+               default="weak",
+               help="curmask: train the teacher on GT-proxy-curated device "
+                    "masks (the production recipe in the false-plume "
+                    "regime: curation fixes the labels, the teacher "
+                    "distils the fixed labels into the fast body)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 alphas = [float(a) for a in args.alphas.split(",") if a.strip()]
@@ -97,11 +107,25 @@ print(f"backend: {jax.default_backend()}  granules: {args.granules}  "
 SCENE = dict(n_plumes=3, background_level=0.2, background_noise=0.05,
              plume_amplitude=(0.6, 0.9), plume_sigma_major=(9.0, 16.0),
              plume_sigma_minor=(1.8, 2.8), fires_per_plume=(5, 8))
+if args.regime == "false-plume":
+    # the quality_loop false-plume regime: fire-bearing distractor blobs
+    # + the shape gates dropped (practitioners loosen them on irregular
+    # real plumes) — false positives become curation's job
+    SCENE.update(distractor_blobs=2, distractor_amplitude=(0.45, 0.75),
+                 distractor_sigma=(7.0, 12.0))
+    IDENTIFY_CFG = RGIdentifyConfig(max_fires=32, side_ratio=1.0,
+                                    max_peaks=99)
+else:
+    IDENTIFY_CFG = RGIdentifyConfig(max_fires=32)
 
 
 def build_weak_set():
-    identify_cfg = RGIdentifyConfig(max_fires=32)
-    out = []
+    """Weak (and, for --teacher-labels curmask, GT-proxy curated device
+    mask) training sets. The curator mirrors quality_loop: keep each
+    accepted plume iff its pixel precision vs GT is >= 0.5 — the
+    reference's human decision, proxied."""
+    weak_out, cur_out = [], []
+    kept = dropped = 0
     t0 = time.perf_counter()
     for i in range(args.granules):
         scene = make_scene(SyntheticSceneConfig(
@@ -109,15 +133,26 @@ def build_weak_set():
         g = scene.granule
         date = scene.fires.date_time.iloc[0]
         _aod, _hulls, res = rg_mod.identify(
-            g.first_layer(), g.lat, g.lon, date, scene.fires, identify_cfg)
+            g.first_layer(), g.lat, g.lon, date, scene.fires, IDENTIFY_CFG)
         sample = scene_to_sample(scene)
+        gt = scene.gt_mask
         weak = np.zeros(g.shape, np.float32)
+        cur = np.zeros(g.shape, np.float32)
         for f in np.nonzero(res["accepted"])[0]:
-            weak[res["mask"][f]] = 1.0
-        out.append(GranuleSample(channels=sample.channels, mask=weak))
+            m = res["mask"][f]
+            weak[m] = 1.0
+            prec = (m & (gt > 0.5)).sum() / max(int(m.sum()), 1)
+            if prec >= 0.5:
+                cur[m] = 1.0
+                kept += 1
+            else:
+                dropped += 1
+        weak_out.append(GranuleSample(channels=sample.channels, mask=weak))
+        cur_out.append(GranuleSample(channels=sample.channels, mask=cur))
     print(f"weak-labelled {args.granules} granules in "
-          f"{time.perf_counter() - t0:.1f} s")
-    return out
+          f"{time.perf_counter() - t0:.1f} s (curator kept {kept}, "
+          f"dropped {dropped})")
+    return weak_out, cur_out
 
 
 def gt_dev_set(n=8):
@@ -125,7 +160,8 @@ def gt_dev_set(n=8):
         size=args.size, seed=77000 + i, **SCENE))) for i in range(n)]
 
 
-weak_set = build_weak_set()
+weak_set, cur_set = build_weak_set()
+teacher_set = cur_set if args.teacher_labels == "curmask" else weak_set
 dev = gt_dev_set()
 
 base_cfg = TrainConfig(
@@ -147,11 +183,12 @@ teacher_cfg = UNetConfig(arch="unetpp", base_features=args.base,
 results = {}
 
 
-def run(name, unet_cfg, train_cfg, checkpoint=False):
+def run(name, unet_cfg, train_cfg, checkpoint=False, train_set=None):
     t0 = time.perf_counter()
     hist = train(unet_cfg=unet_cfg, train_cfg=train_cfg,
                  data_cfg=DataConfig(), checkpoint=checkpoint,
-                 datasets=(weak_set, dev))
+                 datasets=(weak_set if train_set is None else train_set,
+                           dev))
     results[name] = {
         "best_dev_iou": hist["best_dev_iou"][0],
         "best_step": hist["best_dev_step"][0],
@@ -168,9 +205,9 @@ if not args.skip_baseline:
 shutil.rmtree(args.teacher_dir, ignore_errors=True)
 import dataclasses
 
-run("teacher-unetpp-ds", teacher_cfg,
+run(f"teacher-unetpp-ds-{args.teacher_labels}", teacher_cfg,
     dataclasses.replace(base_cfg, checkpoint_dir=args.teacher_dir),
-    checkpoint=True)
+    checkpoint=True, train_set=teacher_set)
 
 calibrate = None
 if args.calibrate == "sweep":
