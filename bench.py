@@ -369,6 +369,34 @@ def _probe_backend(attempts: int = 4, probe_timeout: int = 180,
     probe_backend(attempts, probe_timeout, backoff)
 
 
+def _mfu_leg(mpix_s, arch=None, base=None, depth=None, tile=None,
+             overlap=None, int8=None, train=False):
+    """Apparent TFLOPS / %-of-peak for one measured leg (VERDICT round-4
+    #5): canvas rate × analytic model FLOPs/px × tile-grid redundancy,
+    against the v5e peak of the leg's matmul dtype. Train steps count
+    fwd+bwd ≈ 3× forward FLOPs (the standard accounting)."""
+    from plumekit.config.train import UNetConfig
+    from plumekit.models.flops import (mfu, model_flops_per_pixel,
+                                       sliding_redundancy)
+
+    if mpix_s is None:
+        return None
+    arch = ARCH if arch is None else arch
+    int8 = INT8 if int8 is None else int8
+    parts = arch.split(":")
+    prune = next((int(t[1:]) for t in parts[1:] if t.startswith("p")), None)
+    cfg = UNetConfig(arch=parts[0], deep_supervision="ds" in parts[1:],
+                     prune_level=prune,
+                     base_features=BASE if base is None else base,
+                     depth=DEPTH if depth is None else depth)
+    fpp = model_flops_per_pixel(cfg) * (3.0 if train else 1.0)
+    red = 1.0 if train else sliding_redundancy(
+        GRANULE, TILE if tile is None else tile,
+        OVERLAP if overlap is None else overlap)
+    return mfu(mpix_s, fpp, peak="int8" if int8 else "bf16",
+               redundancy=red)
+
+
 def main() -> int:
     global GRANULE, GRANULES, BATCH_TILES, REPEATS, CACHE_DIR
     backend_note = ""
@@ -446,6 +474,20 @@ def main() -> int:
     }
     if secondary:
         line["secondary"] = secondary
+    if not backend_note:
+        # MFU panel (VERDICT round-4 #5): regressions read as %-of-peak,
+        # not bare MPix/s; identify is excluded (not matmul-dominated)
+        legs = {"headline": _mfu_leg(value)}
+        if secondary:
+            legs["fast_tiling"] = _mfu_leg(
+                secondary.get("fast_tiling_mpix_s"), tile=256, overlap=0)
+            legs["pruned_l1"] = _mfu_leg(
+                secondary.get("pruned_l1_mpix_s"), arch="unetpp:ds:p1",
+                tile=256, overlap=0)
+            legs["train_step"] = _mfu_leg(
+                secondary.get("train_step_mpix_s"), arch="unet", base=32,
+                depth=4, int8=False, train=True)
+        line["mfu"] = {k: v for k, v in legs.items() if v is not None}
     print(json.dumps(line))
     return 0
 
