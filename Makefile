@@ -1,6 +1,7 @@
 .PHONY: requirements data features train predict select model_data \
 	viirs evaluate report clean lint test bench tpu_test help \
-	create_environment test_environment
+	create_environment test_environment native \
+	sync_data_to_s3 sync_data_from_s3 sync_data_to sync_data_from
 
 PYTHON_INTERPRETER = python
 ROOT ?= data
@@ -95,10 +96,29 @@ native:
 help:
 	@grep -E '^##' -A1 Makefile | sed 's/^## //'
 
-## Sync data to/from object storage (reference Makefile:45-58 used aws s3)
+## Sync data to/from object storage (reference Makefile:45-58: aws s3
+## sync with an optional named PROFILE). Same contract here: set BUCKET
+## (required) and PROFILE (optional; "default" means no --profile flag,
+## matching the reference's ifeq).
+PROFILE ?= default
+S3_PROFILE_FLAG = $(if $(filter default,$(PROFILE)),,--profile $(PROFILE))
 sync_data_to_s3:
-	@command -v aws >/dev/null && aws s3 sync $(ROOT) s3://$(BUCKET)/data || \
-	 echo "awscli not installed (zero-egress environment); skipping"
+	@command -v aws >/dev/null || \
+	 { echo "awscli not installed (zero-egress environment)"; exit 1; }
+	aws s3 sync $(ROOT)/ s3://$(BUCKET)/data/ $(S3_PROFILE_FLAG)
 sync_data_from_s3:
-	@command -v aws >/dev/null && aws s3 sync s3://$(BUCKET)/data $(ROOT) || \
-	 echo "awscli not installed (zero-egress environment); skipping"
+	@command -v aws >/dev/null || \
+	 { echo "awscli not installed (zero-egress environment)"; exit 1; }
+	aws s3 sync s3://$(BUCKET)/data/ $(ROOT)/ $(S3_PROFILE_FLAG)
+
+## rsync twins for hosts without S3 (DEST may be a path or host:path),
+## degrading to cp -a for local paths when rsync itself is absent —
+## the working data-movement analogue in this environment
+sync_data_to:
+	@if command -v rsync >/dev/null; then \
+	 rsync -a --info=stats1 $(ROOT)/ $(DEST)/; \
+	 else mkdir -p $(DEST) && cp -a $(ROOT)/. $(DEST)/; fi
+sync_data_from:
+	@if command -v rsync >/dev/null; then \
+	 rsync -a --info=stats1 $(DEST)/ $(ROOT)/; \
+	 else mkdir -p $(ROOT) && cp -a $(DEST)/. $(ROOT)/; fi
