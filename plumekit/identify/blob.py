@@ -102,7 +102,13 @@ def _prune_overlapping(blobs: np.ndarray, overlap: float,
                        radius_scale: float) -> np.ndarray:
     """Host-side post-pass: drop the smaller-sigma member of every disc
     pair overlapping by more than ``overlap`` (big sigmas scanned first so
-    they win). O(N²) on the ≤max_blobs survivors — off the device path."""
+    they win). O(N²) on the ≤max_blobs survivors — off the device path.
+
+    Chained-overlap convention: the scan is ALIVE-ordered — a blob killed
+    earlier no longer kills others — whereas skimage's ``_prune_blobs``
+    zeroes sigmas pairwise with no aliveness order, so a chain A→B→C can
+    differ (docs/parity.md blob entry; the clean-room oracle encodes this
+    same alive-order convention)."""
     if len(blobs) < 2 or overlap >= 1.0:
         return blobs
     alive = np.ones(len(blobs), bool)

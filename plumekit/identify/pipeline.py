@@ -284,7 +284,10 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
         # XLA form stands — F scalar comparisons fused over one pass of
         # each label image (the former H·W+1-segment ``segment_sum`` size
         # map lowers to a giant scatter on TPU; only ≤ T·F sizes are read)
-        if ccl_backend() == "pallas" and f_count <= 128:
+        from plumekit.ops.pallas.label_counts import pick_block
+
+        if (ccl_backend() == "pallas" and f_count <= 128
+                and pick_block(w) is not None):
             from plumekit.ops.pallas.label_counts import fire_label_counts
 
             sizes_tf = fire_label_counts(labels_all, lab_tf)  # (T, F)

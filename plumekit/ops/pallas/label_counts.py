@@ -37,6 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 #: lane width — the padded fire capacity of the output row
 _LANES = 128
 
+#: VMEM budget for the streamed (1, block, w_pad) int32 label block —
+#: half the 16 MB default scoped-vmem cap, leaving room for the Mosaic
+#: pipeline's double buffering (×2 in the check below) plus the output
+#: block and temporaries
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def pick_block(w: int, block: int = 256):
+    """Largest row-block ≤ ``block`` whose double-buffered streamed label
+    block fits the VMEM budget at width ``w`` (the round-4 advisor
+    finding: at w ≥ 16384 the default 256-row block alone hits the 16 MB
+    scoped-vmem cap). Returns ``None`` when even an 8-row block does not
+    fit — callers fall back to the XLA compare+reduce."""
+    w_pad = -(-w // _LANES) * _LANES
+    while block >= 8 and 2 * block * w_pad * 4 > _VMEM_BUDGET:
+        block //= 2
+    return block if block >= 8 else None
+
 
 def _kernel(labs_sref, labels_ref, out_ref, *, f_count: int):
     t = pl.program_id(0)
@@ -62,14 +80,22 @@ def _kernel(labs_sref, labels_ref, out_ref, *, f_count: int):
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
-def fire_label_counts(labels, labs, block: int = 256,
+def fire_label_counts(labels, labs, block=None,
                       interpret: bool = False):
     """``(T, H, W) int32 labels, (T, F) int32 labs -> (T, F) int32
     counts`` with ``counts[t, f] == sum(labels[t] == labs[t, f])`` —
     bit-equal to the XLA compare+reduce formulation, one plane pass per
-    threshold."""
+    threshold. ``block=None`` picks the largest VMEM-budget row block
+    for the scene width (see :func:`pick_block`)."""
     t_count, h, w = labels.shape
     f_count = labs.shape[1]
+    if block is None:
+        block = pick_block(w)
+        if block is None:
+            raise ValueError(
+                f"width {w} exceeds the VMEM budget at every row block — "
+                "use the XLA compare+reduce path (pick_block returned "
+                "None)")
     if f_count > _LANES:
         raise ValueError(f"fire capacity {f_count} exceeds {_LANES}")
     if block % 8:

@@ -102,7 +102,10 @@ def distill_samples(
       labels at one-time offline cost.
     * ``calibrate_threshold`` — recenter the teacher's logits so its
       CALIBRATED operating point t* maps to probability 0.5:
-      ``p' = sigmoid(z/T − logit(t*))``. The round-3 sweep showed the
+      ``p' = sigmoid((z − logit(t*)) / T)`` — recentred BEFORE tempering,
+      so t* → 0.5 holds at every temperature (shifting after the divide
+      would move the operating point to sigmoid(logit(t*)(1−T)/T) for
+      T ≠ 1). The round-3 sweep showed the
       weak-label teacher's true operating point sits at ~0.70; without
       recentring the student inherits miscalibrated targets and has to
       re-learn the shift (it self-calibrates to ~0.60, BASELINE.md).
@@ -135,7 +138,9 @@ def distill_samples(
         base_apply = apply_fn
 
         def apply_fn(v, x, train=False):      # noqa: F811
-            return base_apply(v, x, train=train) / temperature - shift
+            # recenter, THEN temper: (z - logit(t*)) / T keeps the
+            # calibrated operating point at 0.5 for every T
+            return (base_apply(v, x, train=train) - shift) / temperature
     if tta:
         # D4-averaged teacher: wraps AFTER the shift so the ensemble
         # averages the recentred probabilities

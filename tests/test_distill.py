@@ -197,6 +197,34 @@ def test_distill_calibrate_recenters(tmp_path):
         distill_samples(samples, ckpt, calibrate_threshold=1.0)
 
 
+def test_distill_calibrate_composes_with_temperature(tmp_path):
+    """Recentring happens BEFORE tempering — p' = sigmoid((z − logit(t*))/T)
+    — so the teacher's calibrated operating point t* maps to exactly 0.5 at
+    ANY temperature (the round-4 advisor finding: shift-after-divide put it
+    at sigmoid(logit(t*)(1−T)/T) for T ≠ 1)."""
+    from plumekit.train.distill import distill_samples
+
+    ckpt = _train_teacher(tmp_path)
+    samples = make_synthetic_dataset(DATA, train=True)
+    flat = InferConfig(tile_size=32, overlap=0, batch_tiles=4)
+    tstar, temp = 0.7, 4.0
+    base = distill_samples(samples, ckpt, alpha=1.0, infer_cfg=flat)
+    cal = distill_samples(samples, ckpt, alpha=1.0, infer_cfg=flat,
+                          calibrate_threshold=tstar, temperature=temp)
+    shift = np.log(tstar / (1 - tstar))
+    for b, c in zip(base, cal):
+        p = np.clip(b.mask, 1e-6, 1 - 1e-6)
+        expected = 1.0 / (1.0 + np.exp(-(np.log(p / (1 - p)) - shift)
+                                       / temp))
+        np.testing.assert_allclose(c.mask, expected, atol=2e-4)
+        # the invariant itself: pixels the teacher scored at t* land at
+        # 0.5 in the tempered targets (sidedness preserved away from the
+        # closed-form check's tolerance band)
+        far = np.abs(b.mask - tstar) > 1e-3
+        np.testing.assert_array_equal((c.mask > 0.5)[far],
+                                      (b.mask > tstar)[far])
+
+
 def test_distill_tta_matches_manual_d4_average(tmp_path):
     """tta=True labels equal the mean of the 8 dihedral relabelings done
     by hand through the same sliding infer (overlap 0 keeps the taper out

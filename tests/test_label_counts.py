@@ -48,6 +48,29 @@ def test_counts_validation():
                           interpret=True)
 
 
+def test_pick_block_vmem_budget():
+    """Wide scenes shrink the row block so the double-buffered streamed
+    block stays inside the VMEM budget (round-4 advisor finding: at
+    w ≥ 16384 the default 256-row block alone hit the 16 MB scoped cap);
+    absurd widths return None and the pipeline keeps the XLA branch."""
+    from plumekit.ops.pallas.label_counts import _VMEM_BUDGET, pick_block
+
+    assert pick_block(1200) == 256           # the 1200² protocol: unchanged
+    for w in (4096, 8192, 16384, 40000):
+        blk = pick_block(w)
+        assert blk is not None and blk % 8 == 0
+        w_pad = -(-w // 128) * 128
+        assert 2 * blk * w_pad * 4 <= _VMEM_BUDGET
+    assert pick_block(300_000) is None
+    # auto-block path stays bit-equal on a wide scene (block shrinks)
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 30, (2, 24, 16500)).astype(np.int32)
+    labs = rng.integers(0, 40, (2, 5)).astype(np.int32)
+    got = np.asarray(fire_label_counts(jnp.asarray(labels),
+                                       jnp.asarray(labs), interpret=True))
+    np.testing.assert_array_equal(got, _xla_counts(labels, labs))
+
+
 def test_pipeline_xla_branch_unchanged():
     """The CPU pipeline keeps the XLA branch (backend gate): identify
     still runs and the sizes feeding extents agree with a hand count."""
