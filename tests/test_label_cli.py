@@ -75,6 +75,46 @@ def test_apply_decisions(toy_granule):
     assert set(rejected.id.unique()) == {1.0}
 
 
+def test_interactive_review_headless(toy_granule, monkeypatch):
+    """Drive the blocking key loop without a GUI (VERDICT round-4 #7):
+    plt.show is replaced by a synthetic key_press_event dispatch through
+    the real mpl_connect callback registry, so the '1'-keeps / '0'-rejects
+    / close-without-answer-rejects semantics (reference
+    plume_selector.py:118-134) are exercised end-to-end on Agg."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backend_bases import KeyEvent
+
+    from plumekit.label.selector import interactive_review
+
+    # per-plume scripts: irrelevant keys must be ignored, None = the user
+    # closed the window without deciding (defaults to reject)
+    scripts = iter([["x", "1"], ["0"], [None]])
+
+    def fake_show(*args, **kwargs):
+        fig = plt.gcf()
+        for key in next(scripts):
+            if key is None:
+                plt.close(fig)
+                return
+            fig.canvas.callbacks.process(
+                "key_press_event",
+                KeyEvent("key_press_event", fig.canvas, key))
+            if not plt.fignum_exists(fig.number):
+                return  # the handler closed the figure: decision made
+
+    monkeypatch.setattr(plt, "show", fake_show)
+    df = pd.concat([_square_hull(50, 50, 10, 0),
+                    _square_hull(100, 20, 8, 1),
+                    _square_hull(20, 100, 8, 2)], ignore_index=True)
+    kept, rejected = interactive_review(df, toy_granule)
+    assert set(kept.id.unique()) == {0.0}
+    assert set(rejected.id.unique()) == {1.0, 2.0}
+    assert not plt.get_fignums()  # every review figure was closed
+
+
 def test_export_review_batch(tmp_path, toy_granule):
     df = _square_hull(50, 50, 10, 0)
     manifest = export_review_batch(df, toy_granule, str(tmp_path))
