@@ -518,6 +518,11 @@ def _build_serving(args, unet_cfg, variables):
                 "--tta and --exported are mutually exclusive: the exported "
                 "program's forward is baked in — export with `export_model "
                 "--tta` to ship a TTA artifact")
+        if getattr(args, "mesh_devices", 0):
+            raise _CliError(
+                "--mesh-devices and --exported are mutually exclusive: the "
+                "exported program's device layout is baked in — serve the "
+                "live model on the mesh instead")
         # NB --threshold still applies: persisted masks are thresholded at
         # write time from the artifact's probs (_write_prediction); only
         # the program's internal mask output carries the export-time bake
@@ -572,12 +577,47 @@ def _build_serving(args, unet_cfg, variables):
         from plumekit.infer.tta import make_tta_apply
 
         apply_fn = make_tta_apply(apply_fn)
-    infer = make_sliding_infer(
-        apply_fn,
-        InferConfig(tile_size=args.tile, overlap=args.overlap,
-                    batch_tiles=getattr(args, "batch_tiles", 64),
-                    threshold=_resolve_threshold(args)),
-        channels=unet_cfg.in_channels)
+    icfg = InferConfig(tile_size=args.tile, overlap=args.overlap,
+                       batch_tiles=getattr(args, "batch_tiles", 64),
+                       threshold=_resolve_threshold(args))
+    mesh_n = int(getattr(args, "mesh_devices", 0) or 0)
+    if mesh_n:
+        # pod-slice serving (VERDICT round-4 #4): shard the granule group
+        # over a D-device mesh — every device runs its local
+        # --batch-granules granules' tile grids in one program
+        # (make_batch_infer_sharded, the tested config-5 DP shape). The
+        # stream feeds fixed D·G groups through the infer_is_batched path
+        # (ragged tails pad by repeating the last granule).
+        import jax
+        from jax.sharding import Mesh
+
+        from plumekit.infer import make_batch_infer_sharded
+
+        if args.fused:
+            raise _CliError("--fused and --mesh-devices are not supported "
+                            "together (the fused Pallas forward is a "
+                            "single-chip path)")
+        devs = jax.devices()
+        if mesh_n == -1:
+            mesh_n = len(devs)
+        if mesh_n < 2:
+            raise _CliError(
+                f"--mesh-devices needs at least 2 devices (got {mesh_n}); "
+                "omit the flag for single-device serving")
+        if len(devs) < mesh_n:
+            raise _CliError(
+                f"--mesh-devices {mesh_n} requested but only {len(devs)} "
+                f"device(s) visible ({devs[0].platform})")
+        mesh = Mesh(np.asarray(devs[:mesh_n]), ("data",))
+        infer = make_batch_infer_sharded(apply_fn, mesh, icfg,
+                                         channels=unet_cfg.in_channels)
+        group = mesh_n * max(1, args.batch_granules)
+        logger.info("serving on a %d-device mesh (%s), %d granules per "
+                    "dispatched program (%d per device)", mesh_n,
+                    devs[0].platform, group, group // mesh_n)
+        return infer, unet_cfg.depth, group, True, use_int8, calib_tile
+    infer = make_sliding_infer(apply_fn, icfg,
+                               channels=unet_cfg.in_channels)
     return infer, unet_cfg.depth, args.batch_granules, False, use_int8, \
         calib_tile
 
@@ -1558,6 +1598,15 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--batch-tiles", type=int, default=64,
                        help="tiles per device forward (the measured "
                             "default; sweep with `plumekit tune`)")
+        p.add_argument("--mesh-devices", type=int, default=0, metavar="D",
+                       help="pod-slice serving: shard each granule group "
+                            "over a D-device mesh (every device runs its "
+                            "--batch-granules granules' tile grids in one "
+                            "program — the tested config-5 DP shape). "
+                            "D = -1 uses every visible device; groups are "
+                            "D × --batch-granules granules; params "
+                            "replicate, no collectives. Incompatible with "
+                            "--exported/--fused")
         p.add_argument("--tuned", nargs="?", const="auto", default=None,
                        metavar="JSON",
                        help="serve the geometry measured by `plumekit "

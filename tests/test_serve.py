@@ -271,3 +271,64 @@ def test_cli_serve_int8_defers_until_calibratable(tmp_path, rng):
                      "--tile", "64", "--int8"]) == 0
     preds = sorted(f for f in os.listdir(pred_dir) if f.endswith(".npz"))
     assert preds == ["land_pred.npz", "ocean_pred.npz"]
+
+
+def test_cli_serve_mesh_sharded(tmp_path, rng):
+    """Pod-slice serving through the CLI (VERDICT round-4 #4): serve
+    --mesh-devices 2 runs granule groups through make_batch_infer_sharded
+    on the 8-virtual-device CPU mesh — incl. a ragged tail (5 granules at
+    2 devices × 2 granules/device = groups of 4) — and the outputs are
+    bit-identical to single-device serving."""
+    import jax
+
+    from plumekit.cli import main as cli_main
+
+    assert len(jax.devices()) >= 2  # the forced 8-virtual-device mesh
+    root = str(tmp_path / "mesh")
+    _small_ckpt(root)
+    paths = PathsConfig(root=root)
+    mdir = paths.ensure("maiac_dir")
+    for i in range(5):
+        _put_granule(mdir, f"m{i}", rng)
+
+    assert cli_main(["serve", "--root", root, "--once", "--settle", "0",
+                     "--tile", "64", "--mesh-devices", "2",
+                     "--batch-granules", "2"]) == 0
+    pred_dir = os.path.join(root, "processed", "predictions")
+    preds = sorted(f for f in os.listdir(pred_dir) if f.endswith(".npz"))
+    assert preds == [f"m{i}_pred.npz" for i in range(5)]
+
+    # single-device reference on the same granules (fresh root)
+    root1 = str(tmp_path / "single")
+    _small_ckpt(root1)
+    mdir1 = PathsConfig(root=root1).ensure("maiac_dir")
+    import shutil
+
+    for f in os.listdir(mdir):
+        shutil.copy(os.path.join(mdir, f), os.path.join(mdir1, f))
+    assert cli_main(["serve", "--root", root1, "--once", "--settle", "0",
+                     "--tile", "64", "--batch-granules", "1"]) == 0
+    pred1 = os.path.join(root1, "processed", "predictions")
+    for f in preds:
+        a = np.load(os.path.join(pred_dir, f))
+        b = np.load(os.path.join(pred1, f))
+        np.testing.assert_array_equal(a["probs"], b["probs"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
+def test_cli_mesh_flag_validation(tmp_path, rng):
+    """--mesh-devices conflicts fail fast with rc=1 (exported / fused /
+    too many devices / fewer than 2)."""
+    from plumekit.cli import main as cli_main
+
+    root = str(tmp_path)
+    _small_ckpt(root)
+    mdir = PathsConfig(root=root).ensure("maiac_dir")
+    _put_granule(mdir, "g", rng)
+    base = ["serve", "--root", root, "--once", "--settle", "0",
+            "--tile", "64"]
+    assert cli_main(base + ["--mesh-devices", "1"]) == 1
+    assert cli_main(base + ["--mesh-devices", "999"]) == 1
+    assert cli_main(base + ["--mesh-devices", "2", "--fused"]) == 1
+    assert cli_main(base + ["--mesh-devices", "2",
+                            "--exported", "/nowhere"]) == 1
