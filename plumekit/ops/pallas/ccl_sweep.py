@@ -101,10 +101,11 @@ def _col_scan(v, barrier_i32, reverse: bool, interpret: bool):
     return v
 
 
-def _kernel(opened_hbm, out_hbm, lbl, mwin, stage, sem_in, sem_out, *,
-            t_count: int, n_blk: int, block: int, h: int, w: int,
-            w_pad: int, connectivity: int, max_sweeps: int, nested: bool,
-            interpret: bool):
+def _kernel(opened_hbm, out_hbm, stats, lbl, mwin, stage, dirty, jbuf,
+            sem_in, sem_out, sem_j, *, t_count: int, n_blk: int,
+            block: int, h: int, w: int, w_pad: int, connectivity: int,
+            max_sweeps: int, nested: bool, local_iters: int,
+            jump_start: int, jump_every: int, interpret: bool):
     t = pl.program_id(0)
     h_blk = n_blk * block
 
@@ -140,12 +141,13 @@ def _kernel(opened_hbm, out_hbm, lbl, mwin, stage, sem_in, sem_out, *,
         lbl[pl.ds(HALO + b * block, block), :] = jnp.where(
             mwin[:] != 0, seed, _SENT
         )
+        dirty[b] = 1
         return 0
 
     lax.fori_loop(0, n_blk, init_block, 0)
 
     # ---- one block window relaxation (returns whether the center moved) --
-    def process(b, upward: bool):
+    def relax_once(b, upward: bool):
         win = lbl[pl.ds(b * block, block + 2 * HALO), :]
         rows = block + 2 * HALO
         ridx = lax.broadcasted_iota(jnp.int32, (rows, w_pad), 0)
@@ -182,22 +184,133 @@ def _kernel(opened_hbm, out_hbm, lbl, mwin, stage, sem_in, sem_out, *,
         lbl[pl.ds(b * block + HALO, block), :] = center_new
         return jnp.any(center_new != center_old)
 
+    # ---- worklist-gated block visit (round-5 swath-scale lever) ----------
+    # A clean block's relaxation is a no-op by construction, so converged
+    # blocks cost one SMEM flag read. Any change re-marks the block and
+    # its row neighbours (labels cross block edges only through the halo
+    # rows), so the long percolation tail — a label frontier snaking
+    # through a handful of blocks for dozens of passes — stops paying for
+    # the whole plane. Every relaxation order converges to the same
+    # unique min-label fixpoint, so skipping preserves bit-parity.
+    def process(b, upward: bool):
+        @pl.when(dirty[b] != 0)
+        def _visit():
+            dirty[b] = 0
+            ch_any = jnp.bool_(False)
+            ch_last = jnp.bool_(False)
+            for k in range(local_iters):
+                # iteration k scans in the pass direction, then alternates
+                # (within-block serpentines resolve locally instead of
+                # costing one global pass per reversal)
+                ch_last = relax_once(b, upward ^ (k % 2 == 1))
+                ch_any = ch_any | ch_last
+
+            @pl.when(ch_last)
+            def _self():
+                dirty[b] = 1   # not at local fixpoint yet
+
+            @pl.when(ch_any)
+            def _neigh():
+                # clamped writes at the edges re-mark the block itself —
+                # harmless extra visits on the two boundary blocks
+                dirty[jnp.maximum(b - 1, 0)] = 1
+                dirty[jnp.minimum(b + 1, n_blk - 1)] = 1
+
+    def any_dirty():
+        return lax.fori_loop(
+            0, n_blk, lambda i, a: a | (dirty[i] != 0), jnp.bool_(False))
+
+    # ---- sparse pointer jumping (round 5) --------------------------------
+    # Near-percolation levels converge in O(alternation depth of the
+    # component's min-propagation path) passes — measured 112 at 4096² —
+    # because sweeps only transport labels geometrically. Labels are
+    # pixel IDS, so dereferencing L[L[p]] teleports values across the
+    # whole maze (the XLA path's pointer-jump trick, ops/ccl.py). A full
+    # per-pixel gather is impossible in Mosaic and ~150 ms/hop in XLA
+    # (measured, experiments/gather_probe.py), so jumps run SPARSELY: one
+    # 8-row stripe of representatives per block, one per 128-lane group;
+    # each rep's label value is dereferenced twice via (8, 128)-tile DMAs
+    # (lane-aligned, sublane offsets free) + masked-reduce extraction,
+    # and the rep takes the min. Values only shortcut within their own
+    # component (a label names a pixel OF that component, and labels
+    # monotonically decrease), so the unique fixpoint — and bit-parity —
+    # is untouched; the next sweeps spread the teleported minima.
+    n_rep_cols = w_pad // 128
+
+    def extract(tile8, r_idx, c_idx):
+        """tile8[r_idx, c_idx] as a scalar via iota masking (arbitrary
+        traced indices; single-element VMEM loads/slices are illegal)."""
+        rr = lax.broadcasted_iota(jnp.int32, tile8.shape, 0)
+        cc = lax.broadcasted_iota(jnp.int32, tile8.shape, 1)
+        return jnp.sum(jnp.where((rr == r_idx) & (cc == c_idx), tile8, 0))
+
+    def deref(v):
+        """Label of the pixel NAMED by label value v (one hop)."""
+        vr = v // w + HALO
+        vc = v % w
+        # DMA slice offsets must be PROVABLY tile-aligned (8, 128) —
+        # unlike vector-load slices, whose sublane offsets are free
+        r0 = (vr // 8) * 8
+        c0 = (vc // 128) * 128
+        cp = pltpu.make_async_copy(
+            lbl.at[pl.ds(r0, 8), pl.ds(c0, 128)], jbuf, sem_j)
+        cp.start()
+        cp.wait()
+        return extract(jbuf[...], vr - r0, vc - c0)
+
+    def jump_block(b, _):
+        r0 = HALO + b * block + (block // 2 - block // 2 % 8)
+        stripe = lbl[pl.ds(r0, 8), :]
+        rr = lax.broadcasted_iota(jnp.int32, (8, w_pad), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (8, w_pad), 1)
+
+        def one_rep(j, carry):
+            stripe_u, improved = carry
+            c_j = j * 128 + 64
+            v = extract(stripe_u, 4, c_j)
+
+            def live(_):
+                u = deref(deref(v))        # two hops per round
+                stripe_n = jnp.where((rr == 4) & (cc == c_j),
+                                     jnp.minimum(stripe_u, u), stripe_u)
+                return stripe_n, improved | (u < v)
+
+            return lax.cond(v != _SENT, live,
+                            lambda _: (stripe_u, improved), 0)
+
+        stripe_u, improved = lax.fori_loop(
+            0, n_rep_cols, one_rep, (stripe, jnp.bool_(False)))
+
+        @pl.when(improved)
+        def _mark():
+            lbl[pl.ds(r0, 8), :] = stripe_u
+            dirty[b] = 1
+
+        return 0
+
     # ---- sweep to fixpoint: top→bottom then bottom→top Gauss-Seidel ------
     def sweep_cond(state):
-        changed, it = state
-        return changed & (it < max_sweeps)
+        cont, it = state
+        return cont & (it < max_sweeps)
 
     def sweep_body(state):
         _, it = state
-        down = lax.fori_loop(
-            0, n_blk, lambda b, ch: ch | process(b, upward=False),
-            jnp.bool_(False))
-        up = lax.fori_loop(
-            0, n_blk, lambda i, ch: ch | process(n_blk - 1 - i, upward=True),
-            jnp.bool_(False))
-        return down | up, it + 1
+        lax.fori_loop(0, n_blk,
+                      lambda b, c: (process(b, upward=False), c)[1], 0)
+        lax.fori_loop(0, n_blk,
+                      lambda i, c: (process(n_blk - 1 - i, upward=True),
+                                    c)[1], 0)
+        if jump_every:
+            @pl.when((it >= jump_start) & (it % jump_every == 0)
+                     & any_dirty())
+            def _jump():
+                lax.fori_loop(0, n_blk, jump_block, 0)
+        return any_dirty(), it + 1
 
-    lax.while_loop(sweep_cond, sweep_body, (jnp.bool_(True), jnp.int32(0)))
+    _, sweeps = lax.while_loop(sweep_cond, sweep_body,
+                               (jnp.bool_(True), jnp.int32(0)))
+    if stats is not None:
+        stats[...] = jnp.full((1, 8, 128), sweeps, jnp.int32)
 
     # ---- emit external labels for this level ------------------------------
     def out_block(b, _):
@@ -230,9 +343,13 @@ def sweep_fits_vmem(h: int, w: int, block: int = 128) -> bool:
 
 
 @partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
-                                   "nested", "interpret"))
+                                   "nested", "local_iters", "jump_start",
+                                   "jump_every", "return_stats",
+                                   "interpret"))
 def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
                         max_sweeps: int | None = None, nested: bool = True,
+                        local_iters: int = 1, jump_start: int = 8,
+                        jump_every: int = 4, return_stats: bool = False,
                         interpret: bool = False):
     """Label every mask of a nested (T, H, W) bool stack in one kernel.
 
@@ -242,18 +359,39 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
     labels and REQUIRES ``opened[i] ⊆ opened[i+1]``; pass ``nested=False``
     for independent masks (each level then relaxes from scratch).
 
+    Block visits are worklist-gated (round 5): converged row blocks cost
+    one SMEM flag read per pass, so the near-percolation levels' long
+    convergence tails — a label frontier wandering through a few blocks
+    for dozens of passes — no longer pay for the whole plane each pass.
+    ``local_iters`` > 1 additionally alternates the column-scan direction
+    within one block visit, resolving within-block serpentines locally.
+    Once a level exceeds ``jump_start`` passes, every ``jump_every``-th
+    pass runs a SPARSE POINTER-JUMP round: a grid of representative
+    pixels dereference their label values (labels are pixel ids) through
+    two (8, 128)-tile DMAs each, teleporting minima across the maze —
+    the log-depth escape for percolating levels whose geometric
+    alternation depth is measured in the hundreds (``jump_every=0``
+    disables). All three preserve bit-parity: min-label relaxation has a
+    unique fixpoint, reached under any visit order, and jumps only adopt
+    values from the representative's own component.
+
     ``max_sweeps`` (default ``max(256, h)``) caps each level's relaxation:
     every down+up pass carries information across the full image height, so
     real masks converge in a handful of passes (the per-level while_loop
     exits early), but an adversarial serpentine with more than ~max_sweeps
     direction reversals would be truncated silently — unlike the XLA path,
     which pointer-jumps. Raise the cap for pathological inputs.
+
+    ``return_stats=True`` additionally returns a (T,) int32 vector of
+    down+up pass counts per level (the convergence diagnostic).
     """
     t_count, h, w = opened.shape
     if block % 8:
         raise ValueError(
             f"block must be a multiple of 8 (Mosaic sublane slice-shape "
             f"rule), got {block}")
+    if local_iters < 1:
+        raise ValueError(f"local_iters must be >= 1, got {local_iters}")
     if not sweep_fits_vmem(h, w, block):
         raise ValueError(
             f"scene {(h, w)} exceeds the kernel's VMEM budget; use the "
@@ -269,17 +407,32 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
 
     kern = partial(_kernel, t_count=t_count, n_blk=n_blk, block=block,
                    h=h, w=w, w_pad=w_pad, connectivity=connectivity,
-                   max_sweeps=max_sweeps, nested=nested, interpret=interpret)
+                   max_sweeps=max_sweeps, nested=nested,
+                   local_iters=local_iters, jump_start=jump_start,
+                   jump_every=jump_every, interpret=interpret)
+    out_shapes = [jax.ShapeDtypeStruct((t_count, h_blk, w_pad), jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if return_stats:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((t_count, 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)))
+        body = kern
+    else:
+        def body(opened_hbm, out_hbm, *scratch):
+            return kern(opened_hbm, out_hbm, None, *scratch)
     out = pl.pallas_call(
-        kern,
+        body,
         grid=(t_count,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((t_count, h_blk, w_pad), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((h_blk + 2 * HALO, w_pad), jnp.int32),   # labels
             pltpu.VMEM((block, w_pad), jnp.int32),              # mask slab
             pltpu.VMEM((block, w_pad), jnp.int32),              # out staging
+            pltpu.SMEM((n_blk,), jnp.int32),                    # worklist
+            pltpu.VMEM((8, 128), jnp.int32),                    # jump tile
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -291,4 +444,7 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(op)
-    return out[:, :h, :w]
+    if return_stats:
+        labels, stats = out
+        return labels[:, :h, :w], stats[:, 0, 0]
+    return out[0][:, :h, :w]
