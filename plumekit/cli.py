@@ -1275,6 +1275,25 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_verify_real_granule(args) -> int:
+    """Run one granule FILE through the real-data contract register
+    (docs/parity.md): decode with named-error discipline, grid/value/
+    resample sanity, optional detector smoke run. Exit 0 iff every
+    non-skipped check passed — the acceptance gate for the first real
+    MCD19A2/IVAOT file this deployment sees."""
+    import json
+
+    from plumekit.io.verify import verify_granule
+
+    res = verify_granule(args.granule, fires_csv=args.fires,
+                         detector=args.detector,
+                         run_identify=not args.no_identify)
+    for c in res.checks:
+        logger.info("%-18s %-4s %s", c.name, c.status.upper(), c.detail)
+    print(json.dumps(res.summary()))
+    return 0 if res.ok else 1
+
+
 def cmd_identify(args) -> int:
     """Single-granule identification (any detector)."""
     from plumekit.config.identify import (
@@ -1784,6 +1803,22 @@ def build_parser() -> argparse.ArgumentParser:
                    default="rg")
     i.add_argument("--out", default=None)
     i.set_defaults(fn=cmd_identify)
+
+    vg = sub.add_parser(
+        "verify_real_granule",
+        help="run one granule file through the real-data contract "
+             "register (docs/parity.md): named-error decode, grid/value/"
+             "UTM-resample sanity, optional detector smoke run; exit 0 "
+             "iff every non-skipped check passes")
+    vg.add_argument("granule", help="granule file (.hdf/.h5/.npz)")
+    vg.add_argument("--fires", default=None,
+                    help="fire CSV for the detector smoke run (omitted = "
+                         "identify check is skipped)")
+    vg.add_argument("--detector", choices=["rg", "gaussian", "basic"],
+                    default="rg")
+    vg.add_argument("--no-identify", action="store_true",
+                    help="skip the detector smoke run even with --fires")
+    vg.set_defaults(fn=cmd_verify_real_granule)
 
     s = sub.add_parser("select", help="plume curation (review/decisions)")
     _add_root(s)

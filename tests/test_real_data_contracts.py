@@ -144,3 +144,127 @@ def test_utm_zone_of_wraps_longitudes():
     assert utm_zone_of(np.array([181.0])) == 1
     assert utm_zone_of(np.array([-181.0])) == 60
     assert utm_zone_of(np.array([179.999])) == 60
+
+
+# ---------------------------------------------------------------------------
+# verify_real_granule: the register's acceptance gate (round 5)
+# ---------------------------------------------------------------------------
+
+def _synthetic_npz(tmp_path, size=128):
+    from plumekit.io.granule import save_granule
+    from plumekit.io.synthetic import SyntheticSceneConfig, make_scene
+
+    scene = make_scene(SyntheticSceneConfig(
+        size=size, n_plumes=2, seed=3, background_level=0.2,
+        background_noise=0.05, fires_per_plume=(4, 6)))
+    gpath = str(tmp_path / "scene.npz")
+    save_granule(gpath, scene.granule)
+    fpath = str(tmp_path / "fires.csv")
+    scene.fires.drop(columns=["date_time"]).to_csv(fpath, index=False)
+    return gpath, fpath
+
+
+def test_verify_granule_synthetic_all_pass(tmp_path):
+    from plumekit.io.verify import verify_granule
+
+    gpath, fpath = _synthetic_npz(tmp_path)
+    res = verify_granule(gpath, fires_csv=fpath, detector="basic")
+    assert res.ok, res.summary()
+    names = {c.name for c in res.checks}
+    assert {"decode", "layers", "grid_shape", "lat_range", "lon_range",
+            "utm_resample", "identify"} <= names
+    assert all(c.status == "pass" for c in res.checks
+               if c.name == "identify")
+
+
+def test_verify_granule_hdf_stub(fake_pyhdf, tmp_path):  # noqa: F811
+    """The stubbed HDF4 path passes decode/orbit-stamp/value checks
+    end-to-end (the closest a no-real-data environment can get)."""
+    from plumekit.io.verify import verify_granule
+
+    fake_pyhdf("20172302054T 20172302055A")
+    gp = tmp_path / "fake_granule.hdf"
+    gp.touch()  # the stub ignores content; verify checks existence first
+    res = verify_granule(str(gp), run_identify=False)
+    by = {c.name: c for c in res.checks}
+    assert by["decode"].status == "pass"
+    assert by["orbit_stamps"].status == "pass"
+    assert res.ok, res.summary()
+
+
+def test_verify_granule_named_failures(fake_pyhdf, tmp_path,  # noqa: F811
+                                       monkeypatch):
+    from plumekit.io.verify import verify_granule
+
+    # malformed orbit stamp → decode FAILS with the named error
+    fake_pyhdf("NOT_A_STAMP")
+    bp = tmp_path / "bad.hdf"
+    bp.touch()
+    res = verify_granule(str(bp), run_identify=False)
+    assert not res.ok
+    assert "malformed orbit timestamp" in res.checks[0].detail
+
+    # missing file
+    res2 = verify_granule(str(tmp_path / "nope.npz"))
+    assert not res2.ok
+
+
+def test_verify_granule_value_range_violation(tmp_path):
+    """A granule whose 'AOD' is unscaled (raw counts ~1000) must fail the
+    value check — the classic forgot-the-0.001-scale mistake."""
+    from plumekit.io.granule import Granule, save_granule
+    from plumekit.io.verify import verify_granule
+
+    lat, lon = np.mgrid[40:41:32j, -105:-104:32j]
+    g = Granule(layers={"t0": np.full((32, 32), 1500.0, np.float32)},
+                lat=lat, lon=lon, name="raw_counts")
+    path = str(tmp_path / "raw.npz")
+    save_granule(path, g)
+    res = verify_granule(path, run_identify=False)
+    assert not res.ok
+    assert any(c.name.startswith("values") and c.status == "fail"
+               for c in res.checks)
+
+
+def test_verify_cli_exit_codes(tmp_path, capsys):
+    import json
+
+    from plumekit.cli import main as cli_main
+
+    gpath, fpath = _synthetic_npz(tmp_path)
+    rc = cli_main(["verify_real_granule", gpath, "--fires", fpath,
+                   "--detector", "basic"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert rc == 0 and payload["ok"] and not payload["failed"]
+    assert cli_main(["verify_real_granule",
+                     str(tmp_path / "missing.hdf")]) == 1
+
+
+def test_struct_metadata_corruption_modes(fake_pyhdf,  # noqa: F811
+                                          monkeypatch):
+    """More corruption shapes of the regex-parsed StructMetadata
+    (tools.py:94-122): truncated corner tuple, one corner missing, and
+    non-numeric coordinates — every one must fail NAMED, never with a
+    bare AttributeError/IndexError."""
+    from plumekit.io.granule import read_maiac_hdf4
+
+    modes = [
+        # truncated mid-tuple
+        "GROUP=GridStructure UpperLeftPointMtrs=(-7783653.6",
+        # LR missing entirely
+        ("GROUP=GridStructure UpperLeftPointMtrs=(-7783653.63,4447802.07) "
+         "END_GROUP=GridStructure"),
+        # non-numeric coordinates
+        ("UpperLeftPointMtrs=(abc,def) LowerRightMtrs=(ghi,jkl)"),
+    ]
+    for meta in modes:
+        fake_pyhdf("20172302054A")
+
+        def bad_attrs(self, full=1, _m=meta):
+            return {"Orbit_time_stamp": ("20172302054A", 0, 0, 0),
+                    "StructMetadata.0": (_m, 0, 0, 0)}
+
+        monkeypatch.setattr(_FakeSD, "attributes", bad_attrs)
+        with pytest.raises(ValueError, match="StructMetadata"):
+            read_maiac_hdf4("corrupt.hdf")
