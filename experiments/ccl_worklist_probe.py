@@ -29,9 +29,17 @@ import numpy as np
 p = argparse.ArgumentParser()
 p.add_argument("--size", type=int, default=4096)
 p.add_argument("--repeats", type=int, default=3)
-p.add_argument("--iters", type=int, nargs="*", default=[1, 2])
+p.add_argument("--iters", type=int, nargs="*", default=[1])
+p.add_argument("--jump-start", type=int, default=8)
+p.add_argument("--jump-every", type=int, default=4)
+p.add_argument("--jump-hops", type=int, default=2)
+p.add_argument("--jump-rstride", type=int, default=128)
+p.add_argument("--jump-cstride", type=int, default=128)
 p.add_argument("--stats", action="store_true")
 p.add_argument("--parity", action="store_true")
+p.add_argument("--banded", action="store_true", help="time/verify the HBM-banded fused-mask kernel")
+p.add_argument("--fused", action="store_true", help="time/verify the VMEM-resident fused-mask kernel")
+p.add_argument("--skip-base", action="store_true", help="skip the opened-stack kernel timing")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 
@@ -99,6 +107,11 @@ if args.stats:
     @jax.jit
     def with_stats(a):
         _, s = multi_threshold_ccl(opened_of(a), connectivity=2,
+                                   jump_start=args.jump_start,
+                                   jump_every=args.jump_every,
+                                   jump_hops=args.jump_hops,
+                                   jump_rstride=args.jump_rstride,
+                                   jump_cstride=args.jump_cstride,
                                    return_stats=True)
         return s
 
@@ -106,15 +119,70 @@ if args.stats:
     print("per-level down+up pass counts (tightest→loosest):")
     print("  ", list(map(int, s)), f" total={int(s.sum())}", flush=True)
 
+if args.skip_base:
+    args.iters = []
+
+if args.fused:
+    from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl_fused
+
+    def fusedp(a):
+        labels = multi_threshold_ccl_fused(a, th, connectivity=2)
+        return jnp.sum(labels[:, ::37, ::37].astype(jnp.float32))
+
+    chain_time("fused resident CCL", fusedp)
+
+    if args.parity:
+        sz = min(args.size, 1200)
+        a = aod_j[:sz, :sz]
+        got_f = np.asarray(multi_threshold_ccl_fused(a, th, connectivity=2))
+        res_k = np.asarray(multi_threshold_ccl(opened_of(a), connectivity=2))
+        assert (got_f == res_k).all(), "fused != opened-stack kernel"
+        print(f"fused parity at {sz}²: == opened-stack kernel", flush=True)
+
 for li in args.iters:
     def bare(a, li=li):
         labels = multi_threshold_ccl(opened_of(a), connectivity=2,
-                                     local_iters=li)
+                                     local_iters=li,
+                                     jump_start=args.jump_start,
+                                     jump_every=args.jump_every,
+                                     jump_hops=args.jump_hops,
+                                     jump_rstride=args.jump_rstride,
+                                     jump_cstride=args.jump_cstride)
         return jnp.sum(labels[:, ::37, ::37].astype(jnp.float32))
 
     chain_time(f"bare CCL local_iters={li}", bare)
 
-if args.parity:
+if args.banded:
+    from plumekit.ops.pallas.ccl_banded import multi_threshold_ccl_banded
+
+    if args.stats:
+        @jax.jit
+        def bstats(a):
+            _, s = multi_threshold_ccl_banded(a, th, connectivity=2,
+                                              return_stats=True)
+            return s
+
+        s = np.asarray(bstats(aod_j))
+        print("banded per-level pass counts:")
+        print("  ", list(map(int, s)), f" total={int(s.sum())}", flush=True)
+
+    def banded(a):
+        labels = multi_threshold_ccl_banded(a, th, connectivity=2)
+        return jnp.sum(labels[:, ::37, ::37].astype(jnp.float32))
+
+    chain_time("banded fused CCL", banded)
+
+    if args.parity:
+        sz = min(args.size, 1200)
+        a = aod_j[:sz, :sz]
+        got_b = np.asarray(multi_threshold_ccl_banded(a, th,
+                                                      connectivity=2))
+        res_k = np.asarray(multi_threshold_ccl(opened_of(a),
+                                               connectivity=2))
+        assert (got_b == res_k).all(), "banded != resident kernel"
+        print(f"banded parity at {sz}²: == resident kernel", flush=True)
+
+if args.parity and not args.banded:
     from plumekit.ops.ccl import connected_components
 
     sz = min(args.size, 1200)

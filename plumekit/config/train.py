@@ -54,7 +54,13 @@ class UNetConfig:
 
 @dataclass(frozen=True)
 class TrainConfig:
-    batch_size: int = 16          # global batch (sharded over data axis)
+    #: global batch (sharded over the data axis). Round-5 roofline note:
+    #: the chip's fwd+bwd throughput jumps at batch 128 (the batch dim
+    #: fills the MXU tile: 46.5 → 77.2 MPix/s at 288² tiles, 192 OOM-
+    #: spills back to 57 — BASELINE.md round-5 train-roofline row); the
+    #: 16-default preserves the measured quality protocols — raise it
+    #: (with an lr rescale) when throughput matters more.
+    batch_size: int = 16
     tile_size: int = 512          # config 2: 512x512 multi-band tiles
     learning_rate: float = 3e-4
     weight_decay: float = 1e-4

@@ -229,22 +229,44 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
         f_count = fire_rows.shape[0]
         h, w = aod_det.shape
 
-        masks = aod_det[None, :, :] > thresholds[:, None, None]
-        opened = binary_opening_cross(masks)
-
         # Thresholds are descending, so opened[0] ⊆ opened[1] ⊆ … (opening
         # is monotone): label tightest→loosest, warm-starting each level
         # from the previous level's labels. On TPU the whole stack runs as
-        # ONE Pallas program with the label image resident in VMEM — the
-        # XLA expansion pays ~45 µs of relay dispatch per op × ~550 ops per
-        # sweep (1.6 s/scene at 1200²); the kernel does it in ~40 ms.
+        # ONE Pallas program — round 5: the BANDED fused-mask kernel
+        # (ops/pallas/ccl_banded.py) builds the threshold masks and the
+        # cross opening in-kernel from the raw AOD (the (T, H, W) opened
+        # stack never materialises), keeps the label plane in HBM (no
+        # VMEM scene gate — 8192²+ swaths label on-device), and measured
+        # the fused-mask build runs in BOTH variants: the VMEM-resident
+        # kernel (multi_threshold_ccl_fused) inside its ~5000² gate, the
+        # banded kernel beyond it. PLUMEKIT_CCL=unfused restores the
+        # round-4 opened-stack kernel; =xla the scan path.
+        import os as _os
+
         from plumekit.ops.pallas.ccl_sweep import (
             multi_threshold_ccl, sweep_fits_vmem)
 
-        if (ccl_backend() == "pallas"
-                and sweep_fits_vmem(*opened.shape[-2:])):
+        backend = ccl_backend()
+        unfused = _os.environ.get("PLUMEKIT_CCL", "") == "unfused"
+        if backend == "pallas" and sweep_fits_vmem(h, w) and not unfused:
+            from plumekit.ops.pallas.ccl_sweep import (
+                multi_threshold_ccl_fused)
+
+            labels_all = multi_threshold_ccl_fused(
+                aod_det, thresholds, connectivity=2)
+        elif backend == "pallas" and not sweep_fits_vmem(h, w):
+            from plumekit.ops.pallas.ccl_banded import (
+                multi_threshold_ccl_banded)
+
+            labels_all = multi_threshold_ccl_banded(
+                aod_det, thresholds, connectivity=2)
+        elif backend == "pallas":
+            masks = aod_det[None, :, :] > thresholds[:, None, None]
+            opened = binary_opening_cross(masks)
             labels_all = multi_threshold_ccl(opened, connectivity=2)
         else:
+            masks = aod_det[None, :, :] > thresholds[:, None, None]
+            opened = binary_opening_cross(masks)
             # XLA fallback: lax.scan of warm-started labelings (NOT vmap —
             # a batched while_loop would make every threshold pay the
             # slowest percolation level's sweep count)

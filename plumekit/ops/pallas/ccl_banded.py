@@ -40,8 +40,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from plumekit.ops.pallas.ccl_sweep import (HALO, _SENT, _col_scan, _roll,
-                                           _row_scan)
+from plumekit.ops.pallas.ccl_sweep import (HALO, _SENT, _col_scan,
+                                           _opened_slab, _roll, _row_scan)
 
 
 def _kernel(th_sref, aod_hbm, out_hbm, stats, win, awin, stage, dirty,
@@ -81,45 +81,19 @@ def _kernel(th_sref, aod_hbm, out_hbm, stats, win, awin, stage, dirty,
     # ---- in-kernel mask + cross opening from the raw AOD -----------------
     def opened_block(b):
         """Opened threshold mask for block b's center rows, built from a
-        haloed AOD slab — bit-equal to binary_opening_cross(aod > th)
-        (erosion border True at TRUE image borders, dilation border
-        False, zero outside the (h, w) extent)."""
+        haloed AOD slab (shared helper — bit-equal to
+        binary_opening_cross(aod > th))."""
         cp = pltpu.make_async_copy(
             aod_hbm.at[pl.ds(b * block, rows), :], awin, sem_a)
         cp.start()
         cp.wait()
-        th = th_sref[t]
-        gr = ridx + b * block - HALO          # global row of each slab row
-        inside = (gr >= 0) & (gr < h) & (lane < w)
-        m = (jnp.where(inside, awin[...], -jnp.inf) > th).astype(jnp.int32)
-
-        def shifted(x, dr, dc, fill):
-            nb = x
-            if dr:
-                nb = _roll(nb, -dr, 0, interpret)
-                edge = (ridx >= rows - dr) if dr > 0 else (ridx < -dr)
-                nb = jnp.where(edge, fill, nb)
-            if dc:
-                nb = _roll(nb, -dc, 1, interpret)
-                edge = (lane >= w_pad - dc) if dc > 0 else (lane < -dc)
-                nb = jnp.where(edge, fill, nb)
-            return nb
-
-        ero = m
-        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            # a neighbour OUTSIDE the (h, w) image counts as foreground
-            # (skimage erosion border_value=True)
-            out_img = ~((gr + dr >= 0) & (gr + dr < h)
-                        & (lane + dc >= 0) & (lane + dc < w))
-            ero = ero & (shifted(m, dr, dc, 0) | out_img.astype(jnp.int32))
-        dil = ero
-        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            dil = dil | shifted(ero, dr, dc, 0)
-        return jnp.where(inside, dil, 0)
+        return _opened_slab(awin[...], th_sref[t], b, ridx, lane,
+                            block=block, h=h, w=w, w_pad=w_pad,
+                            interpret=interpret)
 
     # ---- init this level (warm start from level t-1's EXTERNAL labels) ---
     def init_block(b, _):
-        op = opened_block(b)[HALO:HALO + block]
+        op = opened_block(b)
         rr = lax.broadcasted_iota(jnp.int32, (block, w_pad), 0) + b * block
         cc = lax.broadcasted_iota(jnp.int32, (block, w_pad), 1)
         ids = rr * w + cc

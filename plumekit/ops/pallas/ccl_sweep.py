@@ -101,11 +101,51 @@ def _col_scan(v, barrier_i32, reverse: bool, interpret: bool):
     return v
 
 
-def _kernel(opened_hbm, out_hbm, stats, lbl, mwin, stage, dirty, jbuf,
-            sem_in, sem_out, sem_j, *, t_count: int, n_blk: int,
+def _opened_slab(slab, th, b, ridx, lane, *, block: int, h: int, w: int,
+                 w_pad: int, interpret: bool):
+    """Opened threshold mask for block b's CENTER rows from a haloed
+    (block + 2·HALO, w_pad) float32 AOD slab — bit-equal to
+    ``binary_opening_cross(aod > th)`` restricted to the block (erosion
+    border True at TRUE image borders, dilation border False, zero
+    outside the (h, w) extent). Shared by the resident-fused and banded
+    kernels."""
+    rows = block + 2 * HALO
+    gr = ridx + b * block - HALO              # global row of each slab row
+    inside = (gr >= 0) & (gr < h) & (lane < w)
+    m = (jnp.where(inside, slab, -jnp.inf) > th).astype(jnp.int32)
+
+    def shifted(x, dr, dc):
+        nb = x
+        if dr:
+            nb = _roll(nb, -dr, 0, interpret)
+            edge = (ridx >= rows - dr) if dr > 0 else (ridx < -dr)
+            nb = jnp.where(edge, 0, nb)
+        if dc:
+            nb = _roll(nb, -dc, 1, interpret)
+            edge = (lane >= w_pad - dc) if dc > 0 else (lane < -dc)
+            nb = jnp.where(edge, 0, nb)
+        return nb
+
+    ero = m
+    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        # a neighbour OUTSIDE the (h, w) image counts as foreground
+        # (skimage erosion border_value=True)
+        out_img = ~((gr + dr >= 0) & (gr + dr < h)
+                    & (lane + dc >= 0) & (lane + dc < w))
+        ero = ero & (shifted(m, dr, dc) | out_img.astype(jnp.int32))
+    dil = ero
+    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        dil = dil | shifted(ero, dr, dc)
+    return jnp.where(inside, dil, 0)[HALO:HALO + block]
+
+
+def _kernel(th_sref, in_hbm, out_hbm, stats, lbl, mwin, stage, dirty,
+            jbuf, sem_in, sem_out, sem_j, *, t_count: int, n_blk: int,
             block: int, h: int, w: int, w_pad: int, connectivity: int,
             max_sweeps: int, nested: bool, local_iters: int,
-            jump_start: int, jump_every: int, interpret: bool):
+            jump_start: int, jump_every: int, jump_hops: int,
+            jump_rstride: int, jump_cstride: int, fused: bool,
+            interpret: bool):
     t = pl.program_id(0)
     h_blk = n_blk * block
 
@@ -125,11 +165,26 @@ def _kernel(opened_hbm, out_hbm, stats, lbl, mwin, stage, dirty, jbuf,
 
     # ---- init this level's labels (warm start from the previous level) ----
     def init_block(b, _):
-        cp = pltpu.make_async_copy(
-            opened_hbm.at[t, pl.ds(b * block, block), :], mwin, sem_in
-        )
-        cp.start()
-        cp.wait()
+        if fused:
+            # in_hbm is the HALO-padded raw AOD plane; the opened mask is
+            # built here from a haloed slab (threshold via scalar
+            # prefetch) — the (T, H, W) opened stack never exists
+            rows = block + 2 * HALO
+            cp = pltpu.make_async_copy(
+                in_hbm.at[pl.ds(b * block, rows), :], mwin, sem_in)
+            cp.start()
+            cp.wait()
+            ridx = lax.broadcasted_iota(jnp.int32, (rows, w_pad), 0)
+            op = _opened_slab(mwin[...], th_sref[t], b, ridx, lane,
+                              block=block, h=h, w=w, w_pad=w_pad,
+                              interpret=interpret)
+        else:
+            cp = pltpu.make_async_copy(
+                in_hbm.at[t, pl.ds(b * block, block), :], mwin, sem_in
+            )
+            cp.start()
+            cp.wait()
+            op = mwin[...]
         prev = lbl[pl.ds(HALO + b * block, block), :]
         rr = lax.broadcasted_iota(jnp.int32, (block, w_pad), 0) + b * block
         cc = lax.broadcasted_iota(jnp.int32, (block, w_pad), 1)
@@ -139,7 +194,7 @@ def _kernel(opened_hbm, out_hbm, stats, lbl, mwin, stage, dirty, jbuf,
         else:
             seed = ids
         lbl[pl.ds(HALO + b * block, block), :] = jnp.where(
-            mwin[:] != 0, seed, _SENT
+            op != 0, seed, _SENT
         )
         dirty[b] = 1
         return 0
@@ -235,7 +290,8 @@ def _kernel(opened_hbm, out_hbm, stats, lbl, mwin, stage, dirty, jbuf,
     # component (a label names a pixel OF that component, and labels
     # monotonically decrease), so the unique fixpoint — and bit-parity —
     # is untouched; the next sweeps spread the teleported minima.
-    n_rep_cols = w_pad // 128
+    n_rep_cols = w_pad // jump_cstride
+    n_stripes = max(1, block // jump_rstride)
 
     def extract(tile8, r_idx, c_idx):
         """tile8[r_idx, c_idx] as a scalar via iota masking (arbitrary
@@ -244,48 +300,98 @@ def _kernel(opened_hbm, out_hbm, stats, lbl, mwin, stage, dirty, jbuf,
         cc = lax.broadcasted_iota(jnp.int32, tile8.shape, 1)
         return jnp.sum(jnp.where((rr == r_idx) & (cc == c_idx), tile8, 0))
 
-    def deref(v):
-        """Label of the pixel NAMED by label value v (one hop)."""
+    def _addr(v):
+        """lbl tile address of the pixel NAMED by label value v. DMA
+        slice offsets must be PROVABLY tile-aligned (8, 128) — unlike
+        vector-load slices, whose sublane offsets are free."""
         vr = v // w + HALO
         vc = v % w
-        # DMA slice offsets must be PROVABLY tile-aligned (8, 128) —
-        # unlike vector-load slices, whose sublane offsets are free
-        r0 = (vr // 8) * 8
-        c0 = (vc // 128) * 128
+        return (vr // 8) * 8, (vc // 128) * 128, vr, vc
+
+    def deref(v):
+        """Label of the pixel NAMED by label value v (one hop)."""
+        r0, c0, vr, vc = _addr(v)
         cp = pltpu.make_async_copy(
             lbl.at[pl.ds(r0, 8), pl.ds(c0, 128)], jbuf, sem_j)
         cp.start()
         cp.wait()
         return extract(jbuf[...], vr - r0, vc - c0)
 
+    def hook(v):
+        """One pointer-jump-with-path-halving step rooted at value v:
+        u1 = L[v]; u2 = L[u1]; L[v] <- min(L[v], u2). Writing the
+        improvement back at PIXEL v (the basin-min pixel the chain runs
+        through) is what makes chains contract exponentially — updating
+        only the representatives leaves the intermediate chain nodes to
+        geometric flooding (measured: rep density did not move the
+        4096² pass count at all until this write-back existed). Returns
+        the best value seen (for the representative's own update)."""
+        r0, c0, vr, vc = _addr(v)
+        cp = pltpu.make_async_copy(
+            lbl.at[pl.ds(r0, 8), pl.ds(c0, 128)], jbuf, sem_j)
+        cp.start()
+        cp.wait()
+        tile_a = jbuf[...]
+        u1 = extract(tile_a, vr - r0, vc - c0)
+        u2 = deref(u1)              # clobbers jbuf — tile_a already read
+
+        @pl.when(u2 < u1)
+        def _write_back():
+            rr8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cc8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            jbuf[...] = jnp.where(
+                (rr8 == vr - r0) & (cc8 == vc - c0),
+                jnp.minimum(tile_a, u2), tile_a)
+            cpw = pltpu.make_async_copy(
+                jbuf, lbl.at[pl.ds(r0, 8), pl.ds(c0, 128)], sem_j)
+            cpw.start()
+            cpw.wait()
+            blk = jnp.clip((vr - HALO) // block, 0, n_blk - 1)
+            dirty[blk] = 1
+        return jnp.minimum(u1, u2)
+
     def jump_block(b, _):
-        r0 = HALO + b * block + (block // 2 - block // 2 % 8)
-        stripe = lbl[pl.ds(r0, 8), :]
         rr = lax.broadcasted_iota(jnp.int32, (8, w_pad), 0)
         cc = lax.broadcasted_iota(jnp.int32, (8, w_pad), 1)
+        # stripe offset stays inside the block even when the stride
+        # exceeds the block height (n_stripes=1 then)
+        eff = min(jump_rstride, block)
+        mid = max(0, eff // 2 - eff // 2 % 8)
 
-        def one_rep(j, carry):
-            stripe_u, improved = carry
-            c_j = j * 128 + 64
-            v = extract(stripe_u, 4, c_j)
+        def one_stripe(s, _):
+            # every term is a multiple of 8 (HALO, block, stride, mid are)
+            # but Mosaic cannot prove it through the traced product — hint
+            r0 = pl.multiple_of(
+                HALO + b * block + s * jump_rstride + mid, 8)
+            stripe = lbl[pl.ds(r0, 8), :]
 
-            def live(_):
-                u = deref(deref(v))        # two hops per round
-                stripe_n = jnp.where((rr == 4) & (cc == c_j),
-                                     jnp.minimum(stripe_u, u), stripe_u)
-                return stripe_n, improved | (u < v)
+            def one_rep(j, carry):
+                stripe_u, improved = carry
+                c_j = j * jump_cstride + jump_cstride // 2
+                v = extract(stripe_u, 4, c_j)
 
-            return lax.cond(v != _SENT, live,
-                            lambda _: (stripe_u, improved), 0)
+                def live(_):
+                    u = v
+                    for _hop in range(jump_hops):
+                        u = hook(u)
+                    stripe_n = jnp.where((rr == 4) & (cc == c_j),
+                                         jnp.minimum(stripe_u, u), stripe_u)
+                    return stripe_n, improved | (u < v)
 
-        stripe_u, improved = lax.fori_loop(
-            0, n_rep_cols, one_rep, (stripe, jnp.bool_(False)))
+                return lax.cond(v != _SENT, live,
+                                lambda _: (stripe_u, improved), 0)
 
-        @pl.when(improved)
-        def _mark():
-            lbl[pl.ds(r0, 8), :] = stripe_u
-            dirty[b] = 1
+            stripe_u, improved = lax.fori_loop(
+                0, n_rep_cols, one_rep, (stripe, jnp.bool_(False)))
 
+            @pl.when(improved)
+            def _mark():
+                lbl[pl.ds(r0, 8), :] = stripe_u
+                dirty[b] = 1
+
+            return 0
+
+        lax.fori_loop(0, n_stripes, one_stripe, 0)
         return 0
 
     # ---- sweep to fixpoint: top→bottom then bottom→top Gauss-Seidel ------
@@ -344,12 +450,15 @@ def sweep_fits_vmem(h: int, w: int, block: int = 128) -> bool:
 
 @partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
                                    "nested", "local_iters", "jump_start",
-                                   "jump_every", "return_stats",
+                                   "jump_every", "jump_hops", "jump_rstride",
+                                   "jump_cstride", "return_stats",
                                    "interpret"))
 def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
                         max_sweeps: int | None = None, nested: bool = True,
                         local_iters: int = 1, jump_start: int = 8,
-                        jump_every: int = 4, return_stats: bool = False,
+                        jump_every: int = 4, jump_hops: int = 2,
+                        jump_rstride: int = 128, jump_cstride: int = 128,
+                        return_stats: bool = False,
                         interpret: bool = False):
     """Label every mask of a nested (T, H, W) bool stack in one kernel.
 
@@ -392,6 +501,9 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
             f"rule), got {block}")
     if local_iters < 1:
         raise ValueError(f"local_iters must be >= 1, got {local_iters}")
+    if jump_rstride % 8 or jump_cstride % 8:
+        raise ValueError("jump_rstride/jump_cstride must be multiples of "
+                         f"8, got {jump_rstride}/{jump_cstride}")
     if not sweep_fits_vmem(h, w, block):
         raise ValueError(
             f"scene {(h, w)} exceeds the kernel's VMEM budget; use the "
@@ -405,45 +517,134 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
     op = jnp.pad(opened, ((0, 0), (0, h_blk - h), (0, w_pad - w)))
     op = op.astype(jnp.int32)
 
+    op = op  # noqa: B018 — input staged above
+    return _call_resident(op, None, t_count, h, w, w_pad, n_blk, h_blk,
+                          block, connectivity, max_sweeps, nested,
+                          local_iters, jump_start, jump_every, jump_hops,
+                          jump_rstride, jump_cstride, return_stats,
+                          interpret, fused=False)
+
+
+@partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
+                                   "nested", "local_iters", "jump_start",
+                                   "jump_every", "jump_hops",
+                                   "return_stats", "interpret"))
+def multi_threshold_ccl_fused(aod, thresholds, connectivity: int = 2,
+                              block: int = 128,
+                              max_sweeps: int | None = None,
+                              nested: bool = True, local_iters: int = 1,
+                              jump_start: int = 8, jump_every: int = 4,
+                              jump_hops: int = 2,
+                              return_stats: bool = False,
+                              interpret: bool = False):
+    """The VMEM-resident kernel with the threshold masks built IN-KERNEL
+    from the raw (H, W) AOD plane (round 5): labels
+    ``binary_opening_cross(aod > thresholds[t])`` for a DESCENDING (T,)
+    threshold set without ever materialising the (T, H, W) opened stack —
+    the XLA mask/opening phase (and its HBM stack traffic) disappears.
+    Output is bit-identical to ``multi_threshold_ccl`` on the same
+    stack. Scene-size gate: :func:`sweep_fits_vmem` (use the banded
+    kernel beyond)."""
+    h, w = aod.shape
+    t_count = thresholds.shape[0]
+    if block % 8:
+        raise ValueError(f"block must be a multiple of 8, got {block}")
+    if not sweep_fits_vmem(h, w, block):
+        raise ValueError(
+            f"scene {(h, w)} exceeds the kernel's VMEM budget; use "
+            "multi_threshold_ccl_banded (no VMEM gate)")
+    if max_sweeps is None:
+        max_sweeps = max(256, h)
+    w_pad = ((w + 127) // 128) * 128
+    n_blk = -(-h // block)
+    h_blk = n_blk * block
+    a = jnp.pad(aod.astype(jnp.float32),
+                ((HALO, h_blk - h + HALO), (0, w_pad - w)),
+                constant_values=np.float32(-1e30))
+    return _call_resident(a, thresholds.astype(jnp.float32), t_count, h,
+                          w, w_pad, n_blk, h_blk, block, connectivity,
+                          max_sweeps, nested, local_iters, jump_start,
+                          jump_every, jump_hops, 128, 128, return_stats,
+                          interpret, fused=True)
+
+
+def _call_resident(inp, thresholds, t_count, h, w, w_pad, n_blk, h_blk,
+                   block, connectivity, max_sweeps, nested, local_iters,
+                   jump_start, jump_every, jump_hops, jump_rstride,
+                   jump_cstride, return_stats, interpret, fused):
     kern = partial(_kernel, t_count=t_count, n_blk=n_blk, block=block,
                    h=h, w=w, w_pad=w_pad, connectivity=connectivity,
                    max_sweeps=max_sweeps, nested=nested,
                    local_iters=local_iters, jump_start=jump_start,
-                   jump_every=jump_every, interpret=interpret)
+                   jump_every=jump_every, jump_hops=jump_hops,
+                   jump_rstride=jump_rstride, jump_cstride=jump_cstride,
+                   fused=fused, interpret=interpret)
     out_shapes = [jax.ShapeDtypeStruct((t_count, h_blk, w_pad), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if return_stats:
         out_shapes.append(
             jax.ShapeDtypeStruct((t_count, 8, 128), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)))
-        body = kern
+        if fused:
+            out_specs.append(pl.BlockSpec((1, 8, 128),
+                                          lambda t, th: (t, 0, 0)))
+        else:
+            out_specs.append(pl.BlockSpec((1, 8, 128),
+                                          lambda t: (t, 0, 0)))
+    slab_shape = ((block + 2 * HALO, w_pad) if fused else (block, w_pad))
+    slab_dtype = jnp.float32 if fused else jnp.int32
+    scratch = [
+        pltpu.VMEM((h_blk + 2 * HALO, w_pad), jnp.int32),   # labels
+        pltpu.VMEM(slab_shape, slab_dtype),                 # mask/aod slab
+        pltpu.VMEM((block, w_pad), jnp.int32),              # out staging
+        pltpu.SMEM((n_blk,), jnp.int32),                    # worklist
+        pltpu.VMEM((8, 128), jnp.int32),                    # jump tile
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        # the label plane for scenes beyond ~1700² exceeds the default
+        # 16 MB scoped-vmem cap; budgeted by sweep_fits_vmem
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    if fused:
+        if return_stats:
+            def body(th, a_hbm, out_hbm, stats, *scratch_refs):
+                return kern(th, a_hbm, out_hbm, stats, *scratch_refs)
+        else:
+            def body(th, a_hbm, out_hbm, *scratch_refs):
+                return kern(th, a_hbm, out_hbm, None, *scratch_refs)
+        out = pl.pallas_call(
+            body,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(t_count,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+            compiler_params=params,
+        )(thresholds, inp)
     else:
-        def body(opened_hbm, out_hbm, *scratch):
-            return kern(opened_hbm, out_hbm, None, *scratch)
-    out = pl.pallas_call(
-        body,
-        grid=(t_count,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((h_blk + 2 * HALO, w_pad), jnp.int32),   # labels
-            pltpu.VMEM((block, w_pad), jnp.int32),              # mask slab
-            pltpu.VMEM((block, w_pad), jnp.int32),              # out staging
-            pltpu.SMEM((n_blk,), jnp.int32),                    # worklist
-            pltpu.VMEM((8, 128), jnp.int32),                    # jump tile
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # the label plane for scenes beyond ~1700² exceeds the default
-            # 16 MB scoped-vmem cap; budgeted by sweep_fits_vmem above
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(op)
+        if return_stats:
+            def body(in_hbm, out_hbm, stats, *scratch_refs):
+                return kern(None, in_hbm, out_hbm, stats, *scratch_refs)
+        else:
+            def body(in_hbm, out_hbm, *scratch_refs):
+                return kern(None, in_hbm, out_hbm, None, *scratch_refs)
+        out = pl.pallas_call(
+            body,
+            grid=(t_count,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=params,
+        )(inp)
     if return_stats:
         labels, stats = out
         return labels[:, :h, :w], stats[:, 0, 0]

@@ -76,6 +76,29 @@ def test_banded_serpentine_jumps():
     assert np.asarray(stats).shape == (2,)
 
 
+def test_resident_fused_matches_everything():
+    """The VMEM-resident kernel's in-kernel-mask variant
+    (multi_threshold_ccl_fused) == XLA == banded on noise and
+    percolation — the production TPU path inside the VMEM gate."""
+    from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl_fused
+
+    for seed, smooth, qs in ((3, 1.0, [0.9, 0.5, 0.2]),
+                             (7, 0.8, [0.7, 0.45, 0.25])):
+        field = _field(seed, (96, 130), smooth)
+        ths = np.quantile(field, qs).astype(np.float32)
+        got = np.asarray(multi_threshold_ccl_fused(
+            jnp.asarray(field), jnp.asarray(ths), block=16,
+            interpret=True))
+        ref, _ = _xla_labels(field, ths)
+        np.testing.assert_array_equal(got, ref)
+    # stats variant wiring
+    got2, stats = multi_threshold_ccl_fused(
+        jnp.asarray(field), jnp.asarray(ths), block=16,
+        return_stats=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), ref)
+    assert np.asarray(stats).shape == (3,)
+
+
 def test_banded_degenerate_levels():
     """Empty and full levels, exact lane-multiple width (wrap hazards),
     and a height that does not divide the block."""

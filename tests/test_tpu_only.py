@@ -56,6 +56,37 @@ def test_ccl_kernel_parity_on_chip(tpu):
         np.testing.assert_array_equal(got[i], ref)
 
 
+def test_ccl_fused_and_banded_parity_on_chip(tpu):
+    """Round-5 production CCL paths on real silicon: the VMEM-resident
+    fused-mask kernel and the HBM-banded kernel both == the XLA
+    mask→opening→label chain (thresholding and cross opening included),
+    on a percolation mix whose loose level exercises the worklist AND
+    the sparse pointer-jump DMAs."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from plumekit.ops.ccl import connected_components
+    from plumekit.ops.morphology import binary_opening_cross
+    from plumekit.ops.pallas.ccl_banded import multi_threshold_ccl_banded
+    from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl_fused
+
+    rng = np.random.default_rng(2)
+    field = ndimage.gaussian_filter(
+        rng.random((640, 600)).astype(np.float32), 0.8)
+    ths = np.quantile(field, [0.9, 0.55, 0.45, 0.3]).astype(np.float32)
+    opened = binary_opening_cross(
+        jnp.asarray(field)[None] > jnp.asarray(ths)[:, None, None])
+    ref = np.stack([
+        np.asarray(connected_components(opened[i], connectivity=2))
+        for i in range(len(ths))])
+    fused = np.asarray(multi_threshold_ccl_fused(
+        jnp.asarray(field), jnp.asarray(ths)))
+    np.testing.assert_array_equal(fused, ref)
+    banded = np.asarray(multi_threshold_ccl_banded(
+        jnp.asarray(field), jnp.asarray(ths)))
+    np.testing.assert_array_equal(banded, ref)
+
+
 def test_fused_conv_parity_on_chip(tpu):
     """Mosaic-compiled fused double conv == XLA taps (bf16 tolerance)."""
     import jax
