@@ -277,7 +277,7 @@ def bench_identify_ms() -> float:
     rows, cols = locate_fires_in_image(
         clusters.latitude, clusters.longitude,
         scene.granule.lat, scene.granule.lon, cfg.win_half)
-    fr, fc, fv = pad_fires(rows, cols, cfg.max_fires)
+    fr, fc, fv = pad_fires(rows, cols, cfg.max_fires, bucket=True)
     aod_j = jnp.asarray(aod, jnp.float32)
     nulls = jnp.zeros(aod.shape, bool)
     reps = 3

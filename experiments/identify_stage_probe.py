@@ -71,7 +71,7 @@ clusters = mean_cluster_positions(sub, cfg.cluster_dist_km)
 rows, cols = locate_fires_in_image(clusters.latitude, clusters.longitude,
                                    scene.granule.lat, scene.granule.lon,
                                    cfg.win_half)
-fr, fc, fv = pad_fires(rows, cols, cfg.max_fires)
+fr, fc, fv = pad_fires(rows, cols, cfg.max_fires, bucket=True)
 fr_j, fc_j, fv_j = jnp.asarray(fr), jnp.asarray(fc), jnp.asarray(fv)
 th = jnp.asarray(np.asarray(cfg.thresholds, np.float32))
 aod_j = jnp.asarray(aod, jnp.float32)

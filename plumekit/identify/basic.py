@@ -140,7 +140,8 @@ def identify(
         logger.warning(
             "fire clusters (%d) exceed capacity (%d); truncating",
             len(rows), cfg.max_fires)
-    f_rows, f_cols, f_valid = pad_fires(rows, cols, cfg.max_fires)
+    f_rows, f_cols, f_valid = pad_fires(rows, cols, cfg.max_fires,
+                                        bucket=True)
     fn = _make_program(cfg)
     out = fn(
         jnp.asarray(aod, jnp.float32), jnp.asarray(f_rows),

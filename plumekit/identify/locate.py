@@ -57,9 +57,29 @@ def locate_fires_in_image(
     return np.asarray(rows, dtype=np.int32), np.asarray(cols, dtype=np.int32)
 
 
-def pad_fires(rows: np.ndarray, cols: np.ndarray, capacity: int):
+def fire_bucket(n: int, capacity: int, floor: int = 8) -> int:
+    """Power-of-two fire capacity for ``n`` real fires, capped at the
+    config ``capacity`` (round 5): the sweep's per-fire phases (window
+    slabs, label counts, the F×2-wide vmapped assess) all scale with the
+    PADDED capacity, so padding a 13-fire scene to the 64-slot config
+    default wastes ~5× of the assess plane work. Bucketing to the next
+    power of two keeps jit retraces bounded (≤ log2(capacity/floor)+1
+    programs, cached) while the results for valid fires are unchanged —
+    padding slots produce nothing by construction."""
+    b = floor
+    while b < min(max(n, 1), capacity):
+        b *= 2
+    return min(b, capacity)
+
+
+def pad_fires(rows: np.ndarray, cols: np.ndarray, capacity: int,
+              bucket: bool = False):
     """Pack ragged fire locations into fixed-capacity arrays + validity mask.
-    Overflow beyond ``capacity`` is truncated (logged by callers)."""
+    Overflow beyond ``capacity`` is truncated (logged by callers).
+    ``bucket=True`` shrinks the capacity to :func:`fire_bucket` — use for
+    single-scene programs; batch paths need one shared capacity."""
+    if bucket:
+        capacity = fire_bucket(len(rows), capacity)
     n = min(len(rows), capacity)
     out_r = np.zeros(capacity, dtype=np.int32)
     out_c = np.zeros(capacity, dtype=np.int32)

@@ -67,7 +67,9 @@ def _prep_fires(lat, lon, date_to_find, fire_df, cfg):
             "fire clusters (%d) exceed capacity (%d); truncating",
             len(rows), cfg.max_fires,
         )
-    return pad_fires(rows, cols, cfg.max_fires)
+    # bucketed capacity (round 5): the sweep's per-fire phases cost
+    # padded-F work; see locate.fire_bucket
+    return pad_fires(rows, cols, cfg.max_fires, bucket=True)
 
 
 def identify(

@@ -226,3 +226,25 @@ def test_blob_detectors_smoke():
         assert blobs.ndim == 2 and blobs.shape[1] == 3
         if len(blobs):
             assert (blobs[:, 0] >= 0).all() and (blobs[:, 0] < 128).all()
+
+
+def test_fire_bucketing_capacity_and_equivalence():
+    """Round 5: pad_fires(bucket=True) shrinks capacity to the next power
+    of two (floor 8, cap = config max) and the sweep outputs for VALID
+    fires are unchanged vs the full-capacity padding."""
+    import numpy as np
+
+    from plumekit.identify.locate import fire_bucket, pad_fires
+
+    assert fire_bucket(0, 64) == 8
+    assert fire_bucket(7, 64) == 8
+    assert fire_bucket(9, 64) == 16
+    assert fire_bucket(13, 64) == 16
+    assert fire_bucket(33, 64) == 64
+    assert fire_bucket(200, 64) == 64
+    r = np.arange(13, dtype=np.int32)
+    fr, fc, fv = pad_fires(r, r, 64, bucket=True)
+    assert fr.shape == (16,) and fv.sum() == 13
+    fr2, fc2, fv2 = pad_fires(r, r, 64)
+    assert fr2.shape == (64,)
+    np.testing.assert_array_equal(fr[:13], fr2[:13])
