@@ -1,6 +1,6 @@
 .PHONY: requirements data features train predict select model_data \
 	viirs evaluate report clean lint test bench tpu_test help \
-	create_environment test_environment native \
+	create_environment test_environment native docs \
 	sync_data_to_s3 sync_data_from_s3 sync_data_to sync_data_from
 
 PYTHON_INTERPRETER = python
@@ -88,6 +88,13 @@ create_environment: test_environment
 ## Reference Makefile:76-77 analogue (checks Python >= 3.10 + deps)
 test_environment:
 	$(PYTHON_INTERPRETER) -m pytest tests/test_environment.py -q
+
+## Build the HTML docs (reference Makefile docs skeleton analogue;
+## needs sphinx + myst-parser — absent in the pinned build env by design)
+docs:
+	@python -c "import sphinx" 2>/dev/null && \
+	 sphinx-build -b html docs docs/_build/html || \
+	 echo "sphinx not installed; docs/ is readable as markdown directly"
 
 ## Build the native library
 native:
