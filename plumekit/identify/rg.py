@@ -47,9 +47,12 @@ def _statics(cfg: RGIdentifyConfig) -> SweepStatics:
     )
 
 
-def _prep_fires(lat, lon, date_to_find, fire_df, cfg):
+def _prep_fires(lat, lon, date_to_find, fire_df, cfg, capacity=None):
     """Host fire prep shared by the serial and batched drivers: subset to
-    the scene/date, cluster, locate on the grid, pad to capacity."""
+    the scene/date, cluster, locate on the grid, pad to capacity.
+    ``capacity=None`` buckets to this scene's own count (the serial
+    driver); the batched driver passes a shared capacity so per-scene
+    arrays stack."""
     fire_subset = subset_fires_to_image(lat, lon, fire_df, date_to_find,
                                         min_frp=cfg.min_frp)
     logger.info("...extracted %d fires for image roi", len(fire_subset))
@@ -69,7 +72,9 @@ def _prep_fires(lat, lon, date_to_find, fire_df, cfg):
         )
     # bucketed capacity (round 5): the sweep's per-fire phases cost
     # padded-F work; see locate.fire_bucket
-    return pad_fires(rows, cols, cfg.max_fires, bucket=True)
+    if capacity is None:
+        return pad_fires(rows, cols, cfg.max_fires, bucket=True)
+    return pad_fires(rows, cols, capacity)
 
 
 def identify(
@@ -140,8 +145,17 @@ def identify_batch(
     if len(shapes) != 1:
         raise ValueError(
             f"identify_batch needs same-shape scenes, got {sorted(shapes)}")
-    preps = [_prep_fires(lat, lon, date, fire_df, cfg)
+    # one SHARED bucketed capacity across the group (per-scene buckets
+    # would not stack); valid fires sit in the leading slots by the
+    # pad_fires contract, so truncation to the shared bucket is lossless
+    preps = [_prep_fires(lat, lon, date, fire_df, cfg,
+                         capacity=cfg.max_fires)
              for _aod, lat, lon, date in scenes]
+    from plumekit.identify.locate import fire_bucket
+
+    shared = fire_bucket(max(int(p[2].sum()) for p in preps),
+                         cfg.max_fires)
+    preps = [(p[0][:shared], p[1][:shared], p[2][:shared]) for p in preps]
     thresholds = validate_descending_thresholds(cfg.thresholds)
     fn = cached_batch_sweep_identifier(_statics(cfg))
     aods = jnp.asarray(np.stack([s[0] for s in scenes]), jnp.float32)

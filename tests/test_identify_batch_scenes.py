@@ -93,3 +93,31 @@ def test_build_features_batch_scenes_wrong_detector(tmp_path):
                  "--size", "128"]) == 0
     assert main(["build_features", "--root", root, "--detector", "basic",
                  "--batch-scenes", "2"]) == 1
+
+
+def test_identify_batch_mixed_fire_buckets():
+    """Scenes whose per-scene fire BUCKETS differ (round 5: the serial
+    driver buckets each scene's capacity; the batch driver must re-pad
+    to one shared bucket or the stack would fail) still match serial
+    bit-for-bit."""
+    cfg = RGIdentifyConfig(max_fires=64)
+    few = make_scene(SyntheticSceneConfig(seed=31, **SCENE_KW))
+    many = make_scene(SyntheticSceneConfig(
+        seed=33, **{**SCENE_KW, "n_plumes": 3, "extra_fires": 30}))
+    scenes = []
+    for scene in (few, many):
+        g = scene.granule
+        scenes.append((g.first_layer().astype(np.float32), g.lat, g.lon,
+                       scene.fires.date_time.iloc[0], scene.fires))
+    fire_df = pd.concat([s[4] for s in scenes], ignore_index=True)
+
+    serial = [rg_identify(aod, lat, lon, date, fire_df, cfg)
+              for aod, lat, lon, date, _ in scenes]
+    batched = identify_batch([(aod, lat, lon, date)
+                              for aod, lat, lon, date, _ in scenes],
+                             fire_df, cfg)
+    for (a_s, h_s, o_s), (a_b, h_b, o_b) in zip(serial, batched):
+        pd.testing.assert_frame_equal(a_s.reset_index(drop=True),
+                                      a_b.reset_index(drop=True))
+        pd.testing.assert_frame_equal(h_s.reset_index(drop=True),
+                                      h_b.reset_index(drop=True))
