@@ -39,6 +39,7 @@ p.add_argument("--stats", action="store_true")
 p.add_argument("--parity", action="store_true")
 p.add_argument("--banded", action="store_true", help="time/verify the HBM-banded fused-mask kernel")
 p.add_argument("--fused", action="store_true", help="time/verify the VMEM-resident fused-mask kernel")
+p.add_argument("--lean", action="store_true", help="lean row scans (one per visit)")
 p.add_argument("--skip-base", action="store_true", help="skip the opened-stack kernel timing")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
@@ -126,7 +127,8 @@ if args.fused:
     from plumekit.ops.pallas.ccl_sweep import multi_threshold_ccl_fused
 
     def fusedp(a):
-        labels = multi_threshold_ccl_fused(a, th, connectivity=2)
+        labels = multi_threshold_ccl_fused(a, th, connectivity=2,
+                                           lean_scans=args.lean)
         return jnp.sum(labels[:, ::37, ::37].astype(jnp.float32))
 
     chain_time("fused resident CCL", fusedp)

@@ -62,6 +62,11 @@ p.add_argument("--base", type=int, default=32,
 p.add_argument("--depth", type=int, default=4)
 p.add_argument("--deep-supervision", action="store_true",
                help="unetpp: average the per-column side heads")
+p.add_argument("--lr", type=float, default=None,
+               help="peak learning rate (default TrainConfig 3e-4; scale "
+                    "when changing --batch)")
+p.add_argument("--device-data", action="store_true",
+               help="HBM-resident training set (train --device-data)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 label_names = [s.strip() for s in args.labels.split(",") if s.strip()]
@@ -220,10 +225,17 @@ def gt_dev_set(n=8):
 label_sets = build_datasets()
 dev = gt_dev_set()
 
+_overrides = {}
+if args.lr is not None:
+    _overrides["learning_rate"] = args.lr
+if args.device_data:
+    _overrides["device_data"] = True
+    _overrides["steps_per_dispatch"] = 10
 train_cfg = TrainConfig(
     total_steps=args.steps, batch_size=args.batch, tile_size=args.tile,
     log_every=200, eval_every=100, early_stop_patience=8,
     label_smooth=args.smooth, checkpoint_dir="/tmp/quality_loop_ckpt",
+    **_overrides,
 )
 unet_cfg = UNetConfig(arch=args.arch, base_features=args.base,
                       depth=args.depth,

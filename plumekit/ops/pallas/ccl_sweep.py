@@ -145,7 +145,7 @@ def _kernel(th_sref, in_hbm, out_hbm, stats, lbl, mwin, stage, dirty,
             max_sweeps: int, nested: bool, local_iters: int,
             jump_start: int, jump_every: int, jump_hops: int,
             jump_rstride: int, jump_cstride: int, fused: bool,
-            interpret: bool):
+            lean_scans: bool, interpret: bool):
     t = pl.program_id(0)
     h_blk = n_blk * block
 
@@ -229,10 +229,18 @@ def _kernel(th_sref, in_hbm, out_hbm, stats, lbl, mwin, stage, dirty,
             cand = jnp.minimum(cand, nb)
         new = jnp.where(barrier, _SENT, jnp.minimum(win, cand))
         bar32 = barrier.astype(jnp.int32)
-        new = _row_scan(new, bar32, w_pad, reverse=False,
-                        interpret=interpret)
-        new = _row_scan(new, bar32, w_pad, reverse=True,
-                        interpret=interpret)
+        if lean_scans:
+            # one row scan per visit, direction tied to the pass, so a
+            # down+up pass still covers both horizontal directions —
+            # ~30% cheaper per visit at possibly more passes (fixpoint
+            # unchanged; measured per scene size)
+            new = _row_scan(new, bar32, w_pad, reverse=upward,
+                            interpret=interpret)
+        else:
+            new = _row_scan(new, bar32, w_pad, reverse=False,
+                            interpret=interpret)
+            new = _row_scan(new, bar32, w_pad, reverse=True,
+                            interpret=interpret)
         new = _col_scan(new, bar32, reverse=upward, interpret=interpret)
         center_new = new[HALO:HALO + block]
         center_old = win[HALO:HALO + block]
@@ -451,13 +459,14 @@ def sweep_fits_vmem(h: int, w: int, block: int = 128) -> bool:
 @partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
                                    "nested", "local_iters", "jump_start",
                                    "jump_every", "jump_hops", "jump_rstride",
-                                   "jump_cstride", "return_stats",
-                                   "interpret"))
+                                   "jump_cstride", "lean_scans",
+                                   "return_stats", "interpret"))
 def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
                         max_sweeps: int | None = None, nested: bool = True,
                         local_iters: int = 1, jump_start: int = 8,
                         jump_every: int = 4, jump_hops: int = 2,
                         jump_rstride: int = 128, jump_cstride: int = 128,
+                        lean_scans: bool = True,
                         return_stats: bool = False,
                         interpret: bool = False):
     """Label every mask of a nested (T, H, W) bool stack in one kernel.
@@ -521,20 +530,20 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
     return _call_resident(op, None, t_count, h, w, w_pad, n_blk, h_blk,
                           block, connectivity, max_sweeps, nested,
                           local_iters, jump_start, jump_every, jump_hops,
-                          jump_rstride, jump_cstride, return_stats,
-                          interpret, fused=False)
+                          jump_rstride, jump_cstride, lean_scans,
+                          return_stats, interpret, fused=False)
 
 
 @partial(jax.jit, static_argnames=("connectivity", "block", "max_sweeps",
                                    "nested", "local_iters", "jump_start",
-                                   "jump_every", "jump_hops",
+                                   "jump_every", "jump_hops", "lean_scans",
                                    "return_stats", "interpret"))
 def multi_threshold_ccl_fused(aod, thresholds, connectivity: int = 2,
                               block: int = 128,
                               max_sweeps: int | None = None,
                               nested: bool = True, local_iters: int = 1,
                               jump_start: int = 8, jump_every: int = 4,
-                              jump_hops: int = 2,
+                              jump_hops: int = 2, lean_scans: bool = True,
                               return_stats: bool = False,
                               interpret: bool = False):
     """The VMEM-resident kernel with the threshold masks built IN-KERNEL
@@ -564,21 +573,22 @@ def multi_threshold_ccl_fused(aod, thresholds, connectivity: int = 2,
     return _call_resident(a, thresholds.astype(jnp.float32), t_count, h,
                           w, w_pad, n_blk, h_blk, block, connectivity,
                           max_sweeps, nested, local_iters, jump_start,
-                          jump_every, jump_hops, 128, 128, return_stats,
-                          interpret, fused=True)
+                          jump_every, jump_hops, 128, 128, lean_scans,
+                          return_stats, interpret, fused=True)
 
 
 def _call_resident(inp, thresholds, t_count, h, w, w_pad, n_blk, h_blk,
                    block, connectivity, max_sweeps, nested, local_iters,
                    jump_start, jump_every, jump_hops, jump_rstride,
-                   jump_cstride, return_stats, interpret, fused):
+                   jump_cstride, lean_scans, return_stats, interpret,
+                   fused):
     kern = partial(_kernel, t_count=t_count, n_blk=n_blk, block=block,
                    h=h, w=w, w_pad=w_pad, connectivity=connectivity,
                    max_sweeps=max_sweeps, nested=nested,
                    local_iters=local_iters, jump_start=jump_start,
                    jump_every=jump_every, jump_hops=jump_hops,
                    jump_rstride=jump_rstride, jump_cstride=jump_cstride,
-                   fused=fused, interpret=interpret)
+                   fused=fused, lean_scans=lean_scans, interpret=interpret)
     out_shapes = [jax.ShapeDtypeStruct((t_count, h_blk, w_pad), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if return_stats:
