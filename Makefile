@@ -122,10 +122,12 @@ sync_data_from_s3:
 ## degrading to cp -a for local paths when rsync itself is absent —
 ## the working data-movement analogue in this environment
 sync_data_to:
+	@test -n "$(DEST)" || { echo "set DEST=<path|host:path>"; exit 1; }
 	@if command -v rsync >/dev/null; then \
 	 rsync -a --info=stats1 $(ROOT)/ $(DEST)/; \
 	 else mkdir -p $(DEST) && cp -a $(ROOT)/. $(DEST)/; fi
 sync_data_from:
+	@test -n "$(DEST)" || { echo "set DEST=<path|host:path>"; exit 1; }
 	@if command -v rsync >/dev/null; then \
 	 rsync -a --info=stats1 $(DEST)/ $(ROOT)/; \
 	 else mkdir -p $(ROOT) && cp -a $(DEST)/. $(ROOT)/; fi

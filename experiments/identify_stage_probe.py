@@ -29,6 +29,10 @@ p = argparse.ArgumentParser()
 p.add_argument("--size", type=int, default=1200)
 p.add_argument("--repeats", type=int, default=3)
 p.add_argument("--cpu", action="store_true")
+p.add_argument("--stages", default="core,winsz,tidx,full",
+               help="comma list of stages to time (the non-full stages "
+               "use the unfused labels path, which falls back to the XLA "
+               "scan beyond the VMEM gate — skip them at 8192²)")
 args = p.parse_args()
 
 import jax
@@ -157,7 +161,8 @@ def chain_time(name, fn):
     return dt
 
 
-chain_time("core", core)
-chain_time("+winsz", winsz)
-chain_time("+tidx", tidx)
-chain_time("full", full)
+stages = {"core": ("core", core), "winsz": ("+winsz", winsz),
+          "tidx": ("+tidx", tidx), "full": ("full", full)}
+for key in args.stages.split(","):
+    name, fn = stages[key.strip()]
+    chain_time(name, fn)

@@ -240,14 +240,17 @@ def make_sweep_identifier(statics: SweepStatics, jit: bool = True):
         # the fused-mask build runs in BOTH variants: the VMEM-resident
         # kernel (multi_threshold_ccl_fused) inside its ~5000² gate, the
         # banded kernel beyond it. PLUMEKIT_CCL=unfused restores the
-        # round-4 opened-stack kernel; =xla the scan path.
-        import os as _os
-
+        # round-4 opened-stack kernel (XLA scan beyond the VMEM gate —
+        # there is no unfused banded variant); =xla the scan path. Both
+        # flags are baked in at trace time (see ccl_backend's caveat).
+        from plumekit.ops.ccl import ccl_unfused
         from plumekit.ops.pallas.ccl_sweep import (
             multi_threshold_ccl, sweep_fits_vmem)
 
         backend = ccl_backend()
-        unfused = _os.environ.get("PLUMEKIT_CCL", "") == "unfused"
+        unfused = ccl_unfused()
+        if backend == "pallas" and unfused and not sweep_fits_vmem(h, w):
+            backend = "xla"  # escape hatch must actually escape
         if backend == "pallas" and sweep_fits_vmem(h, w) and not unfused:
             from plumekit.ops.pallas.ccl_sweep import (
                 multi_threshold_ccl_fused)

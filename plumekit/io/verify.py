@@ -195,7 +195,9 @@ def _check_identify(res: VerifyResult, granule: Granule,
         if date is None:
             date = fires.date_time.iloc[0]
         out = identify(granule, fires, date, cfg)
-        res.add("identify", True, f"{detector}: {len(out.masks)} plume(s) "
+        # len(out), not len(out.masks): gaussian/basic fill hulls/aod_stats
+        # and leave masks empty, which would always read "0 plume(s)"
+        res.add("identify", True, f"{detector}: {len(out)} plume(s) "
                 f"at {date}")
     except Exception as e:
         res.add("identify", False, f"{type(e).__name__}: {e}")

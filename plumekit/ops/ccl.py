@@ -53,6 +53,19 @@ def ccl_backend() -> str:
         return "xla"
     return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
 
+
+def ccl_unfused() -> bool:
+    """True when ``PLUMEKIT_CCL=unfused`` asks for the round-4 opened-stack
+    kernel instead of the fused-mask variants. Same trace-time caveat as
+    :func:`ccl_backend`: the flag is baked into each jitted program when it
+    is first traced — set it before the first identify call in the process.
+    Beyond the VMEM scene gate there is no unfused Pallas variant, so the
+    flag routes those scenes to the XLA scan path (a working escape hatch
+    rather than a silent no-op)."""
+    import os
+
+    return os.environ.get("PLUMEKIT_CCL", "") == "unfused"
+
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 

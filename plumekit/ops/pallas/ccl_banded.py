@@ -259,7 +259,16 @@ def _kernel(th_sref, aod_hbm, out_hbm, stats, win, awin, stage, dirty,
 
         @pl.when(improved)
         def _mark():
-            stage[pl.ds(0, 8), :] = stripe_u
+            # Re-fetch and min-merge before writing back: hook() write-backs
+            # may have landed inside [r0, r0+8) since the stripe was staged,
+            # and a plain store would revert them (labels only decrease).
+            cpr = pltpu.make_async_copy(
+                out_hbm.at[t, pl.ds(r0, 8), :], stage.at[pl.ds(0, 8), :],
+                sem_j)
+            cpr.start()
+            cpr.wait()
+            stage[pl.ds(0, 8), :] = jnp.minimum(
+                stage[pl.ds(0, 8), :], stripe_u)
             cpw = pltpu.make_async_copy(
                 stage.at[pl.ds(0, 8), :], out_hbm.at[t, pl.ds(r0, 8), :],
                 sem_j)

@@ -394,7 +394,11 @@ def _kernel(th_sref, in_hbm, out_hbm, stats, lbl, mwin, stage, dirty,
 
             @pl.when(improved)
             def _mark():
-                lbl[pl.ds(r0, 8), :] = stripe_u
+                # Min-merge, not a plain store: hook() write-backs may have
+                # already landed inside these rows (a chain pixel can fall in
+                # the rep stripe), and labels only ever decrease.
+                lbl[pl.ds(r0, 8), :] = jnp.minimum(
+                    lbl[pl.ds(r0, 8), :], stripe_u)
                 dirty[b] = 1
 
             return 0
@@ -526,7 +530,6 @@ def multi_threshold_ccl(opened, connectivity: int = 2, block: int = 128,
     op = jnp.pad(opened, ((0, 0), (0, h_blk - h), (0, w_pad - w)))
     op = op.astype(jnp.int32)
 
-    op = op  # noqa: B018 — input staged above
     return _call_resident(op, None, t_count, h, w, w_pad, n_blk, h_blk,
                           block, connectivity, max_sweeps, nested,
                           local_iters, jump_start, jump_every, jump_hops,
